@@ -1,0 +1,257 @@
+"""The CDC apply kernel — one micro-batch / epoch end-to-end.
+
+Pipeline per batch (mirrors the reference ingest lifecycle, SURVEY.md §3.1):
+  validate → quarantine split   (project_loader.py:524-529 skip-and-log →
+                                 dead-letter table)
+  dedup (doc_id, lsn)           (source_record unique constraint,
+                                 source_record.py:10-17)
+  LWW reduce per doc_id         (latest-assertion-wins,
+                                 canonical_exporter.py:733-753)
+  MERGE into target             (create_or_update handlers,
+                                 initiative_handlers.py:54-106; delete
+                                 semantics team_synchronizer.py:161-189)
+  lineage: runs / metrics /     (ingestion_run.py:8-29;
+  change_log rows                etl_flow_reporter.py:16-63)
+
+Exactly-once: the MERGE's per-key ``lsn`` monotonicity guard makes
+re-applying any batch (foreachBatch retry after crash) a no-op, and the
+LWW reduction makes the result independent of batch boundaries and
+intra-feed order — so checkpointed offsets + this kernel give
+end-to-end exactly-once without coordination.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from horizon_etl_spark.cdc import schema as S
+from horizon_etl_spark.cdc.lww import lww_reduce, lww_reduce_salted
+from horizon_etl_spark.cdc.validate import split_valid
+from horizon_etl_spark.tables.lake import LakeTable
+
+
+@dataclass
+class CdcPipeline:
+    """The five tables of one CDC ingest pipeline (FIXTURES.md §1, §4)."""
+
+    root: str
+    target: LakeTable
+    quarantine: LakeTable
+    runs: LakeTable
+    metrics: LakeTable
+    change_log: LakeTable
+
+    @classmethod
+    def create(cls, root: str, bucket_count: int = 16) -> "CdcPipeline":
+        return cls(
+            root=root,
+            target=LakeTable.create(
+                os.path.join(root, "target"),
+                S.TARGET_SCHEMA,
+                key_col="doc_id",
+                bucket_count=bucket_count,
+            ),
+            quarantine=LakeTable.create(os.path.join(root, "quarantine"), S.QUARANTINE_SCHEMA),
+            runs=LakeTable.create(os.path.join(root, "runs"), S.RUNS_SCHEMA),
+            metrics=LakeTable.create(os.path.join(root, "metrics"), S.METRICS_SCHEMA),
+            change_log=LakeTable.create(os.path.join(root, "change_log"), S.CHANGE_LOG_SCHEMA),
+        )
+
+    @classmethod
+    def load(cls, root: str) -> "CdcPipeline":
+        return cls(
+            root=root,
+            target=LakeTable.load(os.path.join(root, "target")),
+            quarantine=LakeTable.load(os.path.join(root, "quarantine")),
+            runs=LakeTable.load(os.path.join(root, "runs")),
+            metrics=LakeTable.load(os.path.join(root, "metrics")),
+            change_log=LakeTable.load(os.path.join(root, "change_log")),
+        )
+
+    @classmethod
+    def create_or_load(cls, root: str, bucket_count: int = 16) -> "CdcPipeline":
+        if LakeTable.exists(os.path.join(root, "target")):
+            return cls.load(root)
+        return cls.create(root, bucket_count=bucket_count)
+
+
+def _now():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def apply_batch(
+    pipe: CdcPipeline,
+    batch: DataFrame,
+    batch_id: int,
+    salted_lww: bool = False,
+    salt_buckets: int = 32,
+    collect_metrics: bool = True,
+    with_change_log: bool = True,
+) -> dict[str, Any]:
+    """Apply one micro-batch of change events; returns the run stats row."""
+    started = _now()
+    spark = batch.sparkSession
+    if "batch" in batch.columns:
+        batch = batch.drop("batch")
+
+    tagged = batch.withColumn("_reason", _reason()).persist()
+    try:
+        valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+        quarantined = (
+            tagged.filter(F.col("_reason").isNotNull())
+            .withColumnRenamed("_reason", "reason")
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        pipe.quarantine.append(quarantined, operation=f"quarantine(batch={batch_id})")
+
+        counts = tagged.agg(
+            F.count(F.lit(1)).alias("input_rows"),
+            F.sum(F.when(F.col("_reason").isNull(), 1).otherwise(0)).alias("valid_rows"),
+        ).collect()[0]
+        input_rows = int(counts["input_rows"])
+        valid_rows = int(counts["valid_rows"] or 0)
+        quarantined_rows = input_rows - valid_rows
+
+        if collect_metrics:
+            _write_partition_metrics(pipe, valid, batch_id)
+
+        # within-batch dedup + LWW collapse in one reduction: duplicate
+        # (doc_id, lsn) rows are byte-identical, so max_by keeps exactly
+        # one; cross-batch dups are killed by the merge lsn-guard.
+        reducer = lww_reduce_salted if salted_lww else lww_reduce
+        kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
+        winners = reducer(valid.drop("ts"), key="doc_id", order="lsn", **kwargs)
+
+        stats = pipe.target.merge(
+            winners,
+            op_col="op",
+            lsn_col="lsn",
+            delete_op="delete",
+            change_log_sink=pipe.change_log if with_change_log else None,
+            change_log_extra={"batch_id": batch_id},
+        )
+        lww_rows = (
+            stats["inserted"]
+            + stats["updated"]
+            + stats["deleted"]
+            + stats["delete_noop"]
+            + stats["skipped_stale"]
+        )
+        run = {
+            "batch_id": batch_id,
+            "started_at": started,
+            "finished_at": _now(),
+            "status": "success",
+            "input_rows": input_rows,
+            "applied": stats["applied"],
+            "deduped": valid_rows - lww_rows,  # includes LWW-collapsed + dup rows + delete_noops
+            "quarantined": quarantined_rows,
+            "skipped_stale": stats["skipped_stale"],
+            "delete_noop": stats["delete_noop"],
+            "notes": (
+                f"v{stats['version']} ins={stats['inserted']} upd={stats['updated']} "
+                f"del={stats['deleted']} rewrote={stats['rewritten_files']} "
+                f"carried={stats['carried_files']}"
+            ),
+        }
+        pipe.runs.append(
+            spark.createDataFrame([run], S.RUNS_SCHEMA), operation=f"run(batch={batch_id})"
+        )
+        return run
+    except Exception:
+        failed = {
+            "batch_id": batch_id,
+            "started_at": started,
+            "finished_at": _now(),
+            "status": "failed",
+            "input_rows": None,
+            "applied": None,
+            "deduped": None,
+            "quarantined": None,
+            "skipped_stale": None,
+            "delete_noop": None,
+            "notes": "exception during apply",
+        }
+        try:
+            pipe.runs.append(spark.createDataFrame([failed], S.RUNS_SCHEMA))
+        except Exception:
+            pass
+        raise
+    finally:
+        tagged.unpersist()
+
+
+def _reason():
+    from horizon_etl_spark.cdc.validate import reason_column
+
+    return reason_column()
+
+
+def _write_partition_metrics(pipe: CdcPipeline, valid: DataFrame, batch_id: int) -> None:
+    """Per-partition lineage (north_rule 'per-partition lineage + metrics'):
+    rows, distinct keys, hottest-key row count, approx payload bytes —
+    the skew observability that motivates salted LWW."""
+    per_key = (
+        valid.groupBy(F.spark_partition_id().alias("partition_id"), "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("key_rows"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)) * 4 + 64).alias("key_bytes"),
+        )
+    )
+    m = (
+        per_key.groupBy("partition_id")
+        .agg(
+            F.sum("key_rows").alias("rows_in"),
+            F.count(F.lit(1)).alias("distinct_keys"),
+            F.max("key_rows").alias("max_key_rows"),
+            F.sum("key_bytes").alias("approx_bytes"),
+        )
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    pipe.metrics.append(m, operation=f"metrics(batch={batch_id})")
+
+
+def replay(
+    pipe: CdcPipeline,
+    feed: DataFrame,
+    num_batches: int | None = None,
+    salted_lww: bool = False,
+    collect_metrics: bool = True,
+    with_change_log: bool = True,
+) -> list[dict[str, Any]]:
+    """Batch-mode replay of a whole feed, honoring its ``batch`` column
+    (or as one batch).  Used by tests and bench; the streaming path in
+    ``horizon_etl_spark.streaming.runner`` uses the same kernel."""
+    results = []
+    if num_batches is None and "batch" in feed.columns:
+        batch_ids = sorted(
+            r["batch"] for r in feed.select("batch").distinct().collect()
+        )
+        for b in batch_ids:
+            results.append(
+                apply_batch(
+                    pipe,
+                    feed.filter(F.col("batch") == b).drop("batch"),
+                    batch_id=int(b),
+                    salted_lww=salted_lww,
+                    collect_metrics=collect_metrics,
+                    with_change_log=with_change_log,
+                )
+            )
+    else:
+        results.append(
+            apply_batch(
+                pipe,
+                feed.drop("batch") if "batch" in feed.columns else feed,
+                batch_id=0,
+                salted_lww=salted_lww,
+                collect_metrics=collect_metrics,
+                with_change_log=with_change_log,
+            )
+        )
+    return results

@@ -1,0 +1,73 @@
+"""Last-writer-wins reduction — the core CDC conflict-resolution
+primitive (north_star: "last-writer-wins via a window over lsn per key").
+
+Reference semantics being reproduced: attribute assertions are read
+back `ORDER BY asserted_at DESC, id DESC` and the first hit per
+(entity, attribute) wins (/root/reference/src/core/logic/canonical_exporter.py:733-753,
+834-850).  Here the ordering authority is the strictly-per-key-monotonic
+``lsn`` (FIXTURES.md §2), so the reduction is a pure function of the
+event *set* — replay order, batch boundaries, and duplicate delivery
+cannot change the result (SURVEY.md §7.4).
+
+Physical strategy
+-----------------
+``lww_reduce`` uses ``groupBy(key).agg(max_by(payload, lsn))`` — a
+declarative aggregate for which Catalyst generates *partial (map-side)
++ final* hash aggregation, i.e. each upstream task pre-collapses every
+key it sees to one row before the shuffle.  A hot key therefore ships
+at most one row per upstream partition — partial aggregation is itself
+the skew mitigation, equivalent to salting with salt = input partition.
+
+``lww_reduce_salted`` is the explicit two-phase variant
+(groupBy(key, salt) → groupBy(key)) kept for (a) demonstrating the
+strategy the north_rule names, (b) engines/plans where partial agg is
+defeated (e.g. after an exchange already hash-partitioned the feed by
+key).  Both are tested equivalent; bench.py measures both.
+
+A window (`row_number() over (partition by key order by lsn desc)`)
+would sort every partition and ship *all* rows of a hot key to one
+reducer — strictly worse at scale; kept only as an oracle in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def lww_reduce(
+    df: DataFrame, key: str = "doc_id", order: str = "lsn"
+) -> DataFrame:
+    """One surviving event per key: the one with the highest ``order``.
+
+    Output columns == input columns (winner's full row).
+    """
+    others = [c for c in df.columns if c != key]
+    payload = F.struct(*[F.col(c) for c in others])
+    w = F.max_by(payload, F.col(order)).alias("_w")
+    return df.groupBy(key).agg(w).select(key, "_w.*")
+
+
+def lww_reduce_salted(
+    df: DataFrame,
+    key: str = "doc_id",
+    order: str = "lsn",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Explicit two-phase salted LWW (SURVEY.md §4 'salted two-phase LWW').
+
+    Phase 1 reduces (key, salt) groups — hot keys are split across
+    ``salt_buckets`` reducers; phase 2 reduces the ≤salt_buckets
+    survivors per key.  Salt is derived from the order column (pure
+    function of the data → deterministic, resume-safe).
+    """
+    others = [c for c in df.columns if c != key]
+    payload = F.struct(*[F.col(c) for c in others])
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(order)), F.lit(salt_buckets))
+    )
+    phase1 = (
+        salted.groupBy(key, "_salt")
+        .agg(F.max_by(payload, F.col(order)).alias("_w"))
+        .select(key, F.col("_w.*"))
+    )
+    return lww_reduce(phase1, key=key, order=order)

@@ -1,0 +1,90 @@
+"""Schemas for the CDC engine (FIXTURES.md §1-§4; BASELINE.json input_hint).
+
+Target payload: pre-tokenized training sequences
+  (doc_id: string, tokens: array<int32>, n_tok: int32, source: string)
+Change feed: binlog/WAL-style events keyed (doc_id, lsn).
+
+Reference analogues: source_records identity/unique constraint
+(/root/reference/src/tracking/entities/source_record.py:8-53) and the
+entity change log (/root/reference/src/tracking/entities/entity_change_log.py:8-42).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SOURCE_WHITELIST = ("books", "code", "crawl", "wiki")
+
+PAYLOAD_FIELDS = [
+    StructField("doc_id", StringType(), False),
+    StructField("tokens", ArrayType(IntegerType()), True),
+    StructField("n_tok", IntegerType(), True),
+    StructField("source", StringType(), True),
+]
+
+TARGET_SCHEMA = StructType(PAYLOAD_FIELDS)
+
+CHANGE_FEED_SCHEMA = StructType(
+    [
+        StructField("op", StringType(), True),
+        StructField("doc_id", StringType(), True),
+        StructField("lsn", LongType(), True),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+        StructField("ts", TimestampType(), True),
+    ]
+)
+
+QUARANTINE_SCHEMA = StructType(
+    list(CHANGE_FEED_SCHEMA.fields)
+    + [StructField("reason", StringType(), True), StructField("batch_id", LongType(), True)]
+)
+
+RUNS_SCHEMA = StructType(
+    [
+        StructField("batch_id", LongType(), True),
+        StructField("started_at", TimestampType(), True),
+        StructField("finished_at", TimestampType(), True),
+        StructField("status", StringType(), True),
+        StructField("input_rows", LongType(), True),
+        StructField("applied", LongType(), True),
+        StructField("deduped", LongType(), True),
+        StructField("quarantined", LongType(), True),
+        StructField("skipped_stale", LongType(), True),
+        StructField("delete_noop", LongType(), True),
+        StructField("notes", StringType(), True),
+    ]
+)
+
+METRICS_SCHEMA = StructType(
+    [
+        StructField("batch_id", LongType(), True),
+        StructField("partition_id", IntegerType(), True),
+        StructField("rows_in", LongType(), True),
+        StructField("distinct_keys", LongType(), True),
+        StructField("max_key_rows", LongType(), True),
+        StructField("approx_bytes", LongType(), True),
+    ]
+)
+
+CHANGE_LOG_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), True),
+        StructField("lsn", LongType(), True),
+        StructField("op_applied", StringType(), True),
+        StructField("before_n_tok", IntegerType(), True),
+        StructField("before_source", StringType(), True),
+        StructField("after_n_tok", IntegerType(), True),
+        StructField("after_source", StringType(), True),
+        StructField("batch_id", LongType(), True),
+    ]
+)

@@ -1,0 +1,54 @@
+"""Validation / quarantine split — all JVM-side expressions, no per-row
+Python (BASELINE.json input_hint).
+
+Re-expresses the reference's hexagonal-port validation rules as
+DataFrame predicates with a dead-letter path instead of skip-and-log:
+  * approval predicate / row skip   /root/reference/src/core/logic/project_loader.py:524-529
+  * null/empty guards               /root/reference/src/core/logic/strategies/sigpesq_advisorships.py:38-39
+  * placeholder/source whitelist    /root/reference/src/core/logic/etl_flow_reporter.py:190-225
+  * consistency invariants          /root/reference/src/core/logic/etl_flow_reporter.py:108-134
+    → here: n_tok == size(tokens)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from horizon_etl_spark.cdc.schema import SOURCE_WHITELIST
+
+VALID_OPS = ("insert", "update", "delete")
+
+
+def _rules(whitelist: tuple[str, ...]) -> list[tuple[str, Column]]:
+    """Ordered (reason, violation-predicate) pairs; first hit wins."""
+    is_del = F.col("op") == "delete"
+    return [
+        ("null_doc_id", F.col("doc_id").isNull() | (F.length("doc_id") == 0)),
+        ("null_lsn", F.col("lsn").isNull()),
+        ("bad_op", ~F.col("op").isin(*VALID_OPS) | F.col("op").isNull()),
+        ("empty_tokens", ~is_del & (F.col("tokens").isNull() | (F.size("tokens") == 0))),
+        ("n_tok_mismatch", ~is_del & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))),
+        ("bad_source", ~is_del & ~F.col("source").isin(*whitelist)),
+    ]
+
+
+def reason_column(whitelist: tuple[str, ...] = SOURCE_WHITELIST) -> Column:
+    """NULL when the row is valid, else the first violated rule name."""
+    expr = F.lit(None).cast("string")
+    for name, pred in reversed(_rules(whitelist)):
+        expr = F.when(pred, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_valid(
+    df: DataFrame, whitelist: tuple[str, ...] = SOURCE_WHITELIST
+) -> tuple[DataFrame, DataFrame]:
+    """Return (valid, quarantined-with-reason).
+
+    The reason column is computed once; the two outputs are the two
+    sides of the same filter so Catalyst can reuse the scan.
+    """
+    tagged = df.withColumn("reason", reason_column(whitelist))
+    valid = tagged.filter(F.col("reason").isNull()).drop("reason")
+    quarantined = tagged.filter(F.col("reason").isNotNull())
+    return valid, quarantined

@@ -1,0 +1,63 @@
+"""Structured Streaming front-end: tail a change-feed directory and
+apply each micro-batch through the CDC kernel.
+
+This is the reference's run/epoch model (one Prefect flow run = one
+epoch with success/failure finalization,
+/root/reference/src/tracking/recorder.py:91-127) mapped onto
+``foreachBatch``: the checkpoint gives resumable offsets (T7 — crash
+containment + resume,
+/root/reference/src/flows/pipelines/weekly_orchestrator.py:1-40), and
+the kernel's idempotent MERGE makes a re-delivered batch a no-op (T2).
+
+MERGE is not a native streaming sink, so micro-batch + foreachBatch is
+the idiomatic (and only) Spark shape — which is exactly the reference's
+batch-per-file-drop model (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+from horizon_etl_spark.cdc.schema import CHANGE_FEED_SCHEMA
+
+
+def run_stream(
+    spark: SparkSession,
+    pipe: CdcPipeline,
+    input_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    salted_lww: bool = False,
+    collect_metrics: bool = True,
+):
+    """Start (and by default drain) a file-source stream over parquet
+    change-event files dropped into ``input_dir``.
+
+    Returns the StreamingQuery (already awaited when available_now).
+    """
+    reader = spark.readStream.schema(CHANGE_FEED_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    feed = reader.parquet(input_dir)
+
+    def _apply(df, batch_id: int):
+        apply_batch(
+            pipe,
+            df,
+            batch_id=batch_id,
+            salted_lww=salted_lww,
+            collect_metrics=collect_metrics,
+        )
+
+    writer = (
+        feed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

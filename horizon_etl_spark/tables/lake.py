@@ -1,0 +1,606 @@
+"""LakeTable — a minimal ACID snapshot table format over parquet.
+
+The sandbox ships no Iceberg/Delta runtime jars, so the Iceberg
+capabilities the engine needs are implemented here from scratch,
+Spark-first (no per-row Python anywhere in the data path):
+
+  * atomic snapshot commits  — a snapshot is a JSON manifest listing
+    immutable parquet data files; committing is a single hard-link
+    (create-exclusive) of ``v{N}.json``, so readers see either the old
+    or the new version, never a torn state.  Reference analogue: the
+    atomic temp-file+fsync+rename writer
+    (/root/reference/src/core/logic/atomic_io.py:16-41) and SQLite
+    transactionality.
+  * hash-bucket partitioning — data files are laid out by
+    ``pmod(xxhash64(key), bucket_count)``; MERGE only rewrites buckets
+    (and, via per-file min/max key stats, only files) touched by the
+    incoming batch: copy-on-write, Iceberg-style.  Reference analogue:
+    the hot-predicate indexes
+    (/root/reference/src/scripts/harden_db_indices.py:8-19).
+  * keyed MERGE (upsert/delete) with an ``_lsn`` monotonicity guard and
+    delete tombstones, so re-applying any batch — or applying batches
+    in any order — converges to the same final state (exactly-once /
+    idempotent apply; reference analogue: unique-constraint dedup +
+    IntegrityError swallow, /root/reference/src/tracking/recorder.py:165-178,
+    and in-place upsert handlers,
+    /root/reference/src/core/logic/initiative_handlers.py:54-106).
+  * additive schema evolution — the snapshot carries the table schema;
+    old files simply lack new columns and are read as null via an
+    explicit-schema parquet scan (no footer merging job, no rewrite).
+    Reference analogue: guarded ``ALTER TABLE ... ADD COLUMN``
+    migrations (/root/reference/src/db/migrations.py:19-58).
+  * time travel — any retained snapshot version is readable (used by
+    the replay-equality audit).
+
+Scale notes (100 TB / 1000 executors): ``bucket_count`` bounds merge
+write amplification — at production scale use 2^12..2^14 buckets so a
+batch touching k keys rewrites only the overlapping files, found via
+per-file [min_key, max_key] pruning (keys are zero-padded, so string
+order == numeric order).  All joins/reductions shuffle once on the
+bucket/key column; the manifest is O(files) JSON handled driver-side,
+exactly like Iceberg's metadata layer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    MapType,
+    StructField,
+    StructType,
+)
+
+# Internal meta columns present in every data file of a merge-managed table.
+LSN_COL = "_lsn"
+TOMBSTONE_COL = "_tombstone"
+BUCKET_COL = "_bucket"
+
+
+@dataclass
+class FileEntry:
+    path: str  # relative to table root
+    bucket: int
+    rows: int
+    min_key: str | None
+    max_key: str | None
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "min_key": self.min_key,
+            "max_key": self.max_key,
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "FileEntry":
+        return cls(d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"))
+
+
+def bucket_expr(key_col: str, bucket_count: int):
+    """Deterministic hash bucket of the key (JVM-side, codegen'd)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(bucket_count)).cast("int")
+
+
+class LakeTable:
+    """One table rooted at a local/posix ``path`` (on a cluster: DFS path)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ------------------------------------------------------------------ meta
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.path, "_meta", "snapshots")
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"v{version:08d}.json")
+
+    def current_version(self) -> int:
+        if not os.path.isdir(self._snap_dir):
+            raise FileNotFoundError(f"not a LakeTable: {self.path}")
+        versions = [
+            int(f[1:9]) for f in os.listdir(self._snap_dir) if f.endswith(".json")
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no snapshots in {self.path}")
+        return max(versions)
+
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        with open(self._snap_path(v)) as fh:
+            return json.load(fh)
+
+    def schema(self, version: int | None = None) -> StructType:
+        return StructType.fromJson(self.snapshot(version)["schema"])
+
+    @property
+    def key_col(self) -> str:
+        return self.snapshot()["key_col"]
+
+    @property
+    def bucket_count(self) -> int:
+        return self.snapshot()["bucket_count"]
+
+    # ---------------------------------------------------------------- create
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        schema: StructType,
+        key_col: str | None = None,
+        bucket_count: int = 16,
+        props: dict[str, Any] | None = None,
+    ) -> "LakeTable":
+        t = cls(path)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        if key_col is not None:
+            # keyed (merge-managed) tables carry the lsn guard + delete
+            # tombstone as physical meta columns
+            names = {f.name for f in schema.fields}
+            extra = []
+            if LSN_COL not in names:
+                extra.append(StructField(LSN_COL, LongType(), True))
+            if TOMBSTONE_COL not in names:
+                extra.append(StructField(TOMBSTONE_COL, BooleanType(), True))
+            schema = StructType(list(schema.fields) + extra)
+        t._commit(
+            version=1,
+            snapshot={
+                "version": 1,
+                "parent": None,
+                "schema": schema.jsonValue(),
+                "key_col": key_col,
+                "bucket_count": bucket_count,
+                "files": [],
+                "props": props or {},
+                "operation": "create",
+                "summary": {},
+            },
+        )
+        return t
+
+    @classmethod
+    def load(cls, path: str) -> "LakeTable":
+        t = cls(path)
+        t.current_version()  # raises if absent
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        try:
+            cls.load(path)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _commit(self, version: int, snapshot: dict[str, Any]) -> None:
+        """Atomic, create-exclusive commit: hard-link tmp → vN.json.
+
+        ``os.link`` fails with EEXIST if another writer committed vN
+        first → optimistic-concurrency conflict surfaces as an error
+        instead of silent overwrite (POSIX rename would overwrite).
+        """
+        tmp = self._snap_path(version) + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(snapshot, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._snap_path(version))
+        finally:
+            os.unlink(tmp)
+
+    # ------------------------------------------------------------------ read
+    def _scan(
+        self, spark: SparkSession, files: list[FileEntry], schema: StructType
+    ) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.path, f.path) for f in files]
+        # Explicit-schema scan: files written before a schema evolution
+        # lack the new columns; Spark's parquet reader fills them with
+        # null by name — no mergeSchema footer job needed.
+        return spark.read.schema(schema).parquet(*paths)
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = StructType.fromJson(snap["schema"])
+        files = [FileEntry.from_json(f) for f in snap["files"]]
+        df = self._scan(spark, files, schema)
+        if include_meta:
+            return df
+        cols = [f.name for f in schema.fields if f.name not in (LSN_COL, TOMBSTONE_COL)]
+        if TOMBSTONE_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df.select(*cols)
+
+    # ---------------------------------------------------------------- append
+    def append(self, df: DataFrame, operation: str = "append") -> int:
+        """Blind append (no key semantics) — used by lineage/metrics/log
+        tables, mirroring the reference's append-only tracking tables
+        (/root/reference/src/tracking/entities/entity_change_log.py:8-42)."""
+        snap = self.snapshot()
+        version = snap["version"] + 1
+        schema = StructType.fromJson(snap["schema"])
+        df = df.select([F.col(f.name).cast(f.dataType) for f in schema.fields])
+        new_files = self._write_data(df, version, bucketed=False)
+        files = [FileEntry.from_json(f) for f in snap["files"]] + new_files
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "files": [f.to_json() for f in files],
+                "operation": operation,
+                "summary": {"appended_files": len(new_files)},
+            },
+        )
+        return version
+
+    # ---------------------------------------------------- schema evolution
+    def evolve_schema(self, new_schema: StructType, operation: str = "evolve") -> int:
+        """Additive-only schema evolution: existing columns must keep
+        their types; new columns are appended nullable.  Old data files
+        are untouched (read as null for the new columns)."""
+        snap = self.snapshot()
+        old = StructType.fromJson(snap["schema"])
+        old_names = {f.name: f for f in old.fields}
+        for f in old.fields:
+            if f.name not in [n.name for n in new_schema.fields]:
+                raise ValueError(f"schema evolution may not drop column {f.name!r}")
+        merged = list(old.fields)
+        for f in new_schema.fields:
+            if f.name in old_names:
+                if str(f.dataType) != str(old_names[f.name].dataType):
+                    raise ValueError(
+                        f"schema evolution may not change type of {f.name!r}: "
+                        f"{old_names[f.name].dataType} -> {f.dataType}"
+                    )
+            else:
+                merged.append(f)
+        version = snap["version"] + 1
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "schema": StructType(merged).jsonValue(),
+                "operation": operation,
+                "summary": {"added": [f.name for f in merged if f.name not in old_names]},
+            },
+        )
+        return version
+
+    # ----------------------------------------------------------------- write
+    def _write_data(
+        self, df: DataFrame, version: int, bucketed: bool
+    ) -> list[FileEntry]:
+        """Write df to a fresh commit directory; return file entries.
+
+        When ``bucketed``, df must carry BUCKET_COL; output is
+        partitioned by it so each file belongs to exactly one bucket,
+        and per-file row counts + min/max key are collected for pruning.
+        """
+        rel_dir = os.path.join("data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        if bucketed:
+            key = self.key_col
+            (
+                df.repartition(F.col(BUCKET_COL))
+                .write.partitionBy(BUCKET_COL)
+                .mode("error")
+                .parquet(out_dir)
+            )
+            has_data = any(
+                sub.startswith(f"{BUCKET_COL}=") for sub in os.listdir(out_dir)
+            )
+            if not has_data:
+                return []
+            spark = df.sparkSession
+            written = spark.read.parquet(out_dir)
+            stats = (
+                written.groupBy(BUCKET_COL)
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.min(key).alias("min_key"),
+                    F.max(key).alias("max_key"),
+                )
+                .collect()
+            )
+            by_bucket = {r[BUCKET_COL]: r for r in stats}
+            entries: list[FileEntry] = []
+            for sub in sorted(os.listdir(out_dir)):
+                if not sub.startswith(f"{BUCKET_COL}="):
+                    continue
+                b = int(sub.split("=", 1)[1])
+                r = by_bucket[b]
+                for fn in sorted(os.listdir(os.path.join(out_dir, sub))):
+                    if fn.endswith(".parquet"):
+                        entries.append(
+                            FileEntry(
+                                os.path.join(rel_dir, sub, fn),
+                                b,
+                                int(r["rows"]),  # bucket-level rows (upper bound per file)
+                                r["min_key"],
+                                r["max_key"],
+                            )
+                        )
+            return entries
+        df.write.mode("error").parquet(out_dir)
+        entries = []
+        for fn in sorted(os.listdir(out_dir)):
+            if fn.endswith(".parquet"):
+                entries.append(FileEntry(os.path.join(rel_dir, fn), -1, -1, None, None))
+        return entries
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        batch: DataFrame,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+        delete_op: str = "delete",
+        change_log_sink: "LakeTable | None" = None,
+        change_log_extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """Copy-on-write keyed MERGE — the engine's `MERGE INTO`.
+
+        ``batch`` must have exactly one row per key (run the LWW
+        reduction first), with columns: key, payload columns (a subset
+        or superset of the table payload schema — new columns trigger
+        additive evolution), ``op_col`` and ``lsn_col``.
+
+        Semantics per key (reference: create-or-update handlers
+        /root/reference/src/core/logic/initiative_handlers.py:54-106 and
+        member deletion /root/reference/src/core/logic/team_synchronizer.py:161-189):
+
+          WHEN MATCHED  AND s.lsn > t._lsn AND s.op = delete → tombstone
+          WHEN MATCHED  AND s.lsn > t._lsn                  → UPDATE
+          WHEN MATCHED  AND s.lsn <= t._lsn                 → no-op (stale / replayed)
+          WHEN NOT MATCHED AND s.op != delete               → INSERT
+          WHEN NOT MATCHED AND s.op = delete                → tombstone (guards
+              a later out-of-order stale update; GC'd by compaction)
+
+        Only buckets (and files, via min/max key pruning) containing
+        batch keys are rewritten; untouched files carry forward.
+
+        Returns stats + a lazily-evaluated ``change_log`` DataFrame of
+        before/after images (valid as long as the pre-merge snapshot
+        files are retained).
+        """
+        snap = self.snapshot()
+        spark = batch.sparkSession
+        key = snap["key_col"]
+        nb = snap["bucket_count"]
+        assert key is not None, "merge requires a keyed table"
+
+        # --- additive schema evolution from batch payload columns
+        payload_cols = [c for c in batch.columns if c not in (op_col, lsn_col)]
+        table_schema = StructType.fromJson(snap["schema"])
+        known = {f.name for f in table_schema.fields}
+        new_cols = [c for c in payload_cols if c not in known]
+        if new_cols:
+            add = [f for f in batch.schema.fields if f.name in new_cols]
+            self.evolve_schema(
+                StructType(list(table_schema.fields) + add), operation="evolve(merge)"
+            )
+            snap = self.snapshot()
+            table_schema = StructType.fromJson(snap["schema"])
+
+        data_cols = [
+            f.name for f in table_schema.fields if f.name not in (LSN_COL, TOMBSTONE_COL)
+        ]
+
+        src = batch.withColumn(BUCKET_COL, bucket_expr(key, nb))
+
+        # --- bucket + file pruning (driver-side over O(buckets) rows)
+        touched = (
+            src.groupBy(BUCKET_COL)
+            .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
+            .collect()
+        )
+        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
+        all_files = [FileEntry.from_json(f) for f in snap["files"]]
+        rewrite_files, carry_files = [], []
+        for f in all_files:
+            rng = touched_range.get(f.bucket)
+            overlaps = rng is not None and not (
+                f.max_key is not None
+                and f.min_key is not None
+                and (f.max_key < rng[0] or f.min_key > rng[1])
+            )
+            (rewrite_files if overlaps else carry_files).append(f)
+
+        cur = self._scan(spark, rewrite_files, table_schema).withColumn(
+            BUCKET_COL, bucket_expr(key, nb)
+        )
+
+        # --- single full-outer join on the key: yields both the merged
+        # rows and the before/after change images in one shuffle.
+        s = src.select(
+            F.col(key).alias("_s_key"),
+            F.col(BUCKET_COL).alias("_s_bucket"),
+            F.col(op_col).alias("_s_op"),
+            F.col(lsn_col).cast("long").alias("_s_lsn"),
+            *[
+                (F.col(c) if c in batch.columns else F.lit(None).cast(
+                    table_schema[c].dataType
+                )).alias(f"_s_{c}")
+                for c in data_cols
+                if c != key
+            ],
+        )
+        t = cur.select(
+            F.col(key).alias("_t_key"),
+            F.col(BUCKET_COL).alias("_t_bucket"),
+            F.col(LSN_COL).alias("_t_lsn"),
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("_t_tomb"),
+            *[F.col(c).alias(f"_t_{c}") for c in data_cols if c != key],
+        )
+        j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer")
+        j = j.persist()  # consumed 3×: merged write, change log, stats
+
+        fresh = F.col("_s_key").isNotNull() & (
+            F.col("_t_key").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
+        )
+        is_del = F.col("_s_op") == F.lit(delete_op)
+
+        merged = j.select(
+            F.coalesce(F.col("_t_key"), F.col("_s_key")).alias(key),
+            F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL),
+            F.when(fresh, F.col("_s_lsn")).otherwise(F.col("_t_lsn")).alias(LSN_COL),
+            F.when(fresh, is_del)
+            .otherwise(F.coalesce(F.col("_t_tomb"), F.lit(False)))
+            .alias(TOMBSTONE_COL),
+            *[
+                F.when(fresh & ~is_del, F.col(f"_s_{c}"))
+                .when(fresh & is_del, F.lit(None).cast(table_schema[c].dataType))
+                .otherwise(F.col(f"_t_{c}"))
+                .alias(c)
+                for c in data_cols
+                if c != key
+            ],
+        )
+
+        version = snap["version"] + 1
+        ordered = [key, LSN_COL, TOMBSTONE_COL] + [c for c in data_cols if c != key]
+        new_files = self._write_data(
+            merged.select(BUCKET_COL, *ordered), version, bucketed=True
+        )
+
+        files = carry_files + new_files
+        # change images — before/after per atomic payload column
+        # (reference: entity_change_log before/after JSON,
+        # /root/reference/src/tracking/entities/entity_change_log.py:8-42)
+        atomic_cols = [
+            c
+            for c in data_cols
+            if c != key
+            and not isinstance(table_schema[c].dataType, (ArrayType, MapType, StructType))
+        ]
+        change_log = j.filter(F.col("_s_key").isNotNull()).select(
+            F.col("_s_key").alias(key),
+            F.col("_s_lsn").alias("lsn"),
+            F.when(~fresh, F.lit("skipped_stale"))
+            .when(is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), F.lit("delete_noop"))
+            .when(is_del, F.lit("delete"))
+            .when(F.col("_t_key").isNull() | F.col("_t_tomb"), F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("op_applied"),
+            *[
+                F.when(~F.col("_t_tomb"), F.col(f"_t_{c}")).alias(f"before_{c}")
+                for c in atomic_cols
+            ],
+            *[
+                F.when(fresh & ~is_del, F.col(f"_s_{c}")).alias(f"after_{c}")
+                for c in atomic_cols
+            ],
+        )
+        if change_log_extra:
+            for k2, v2 in change_log_extra.items():
+                change_log = change_log.withColumn(k2, F.lit(v2))
+        if change_log_sink is not None:
+            change_log_sink.append(change_log, operation="change_log")
+
+        stats_row = (
+            j.agg(
+                F.count(F.lit(1)).alias("joined"),
+                F.sum(F.when(F.col("_s_key").isNotNull(), 1).otherwise(0)).alias("batch_rows"),
+                F.sum(F.when(fresh & ~is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(fresh & ~is_del & F.col("_t_key").isNotNull() & ~F.col("_t_tomb"), 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(fresh & is_del & F.col("_t_key").isNotNull() & ~F.col("_t_tomb"), 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(fresh & is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), 1).otherwise(0)).alias("delete_noop"),
+                F.sum(F.when(F.col("_s_key").isNotNull() & ~fresh, 1).otherwise(0)).alias("skipped_stale"),
+            )
+        ).collect()[0]
+        j.unpersist()
+
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "files": [f.to_json() for f in files],
+                "operation": "merge",
+                "summary": {
+                    "batch_rows": int(stats_row["batch_rows"] or 0),
+                    "inserted": int(stats_row["inserted"] or 0),
+                    "updated": int(stats_row["updated"] or 0),
+                    "deleted": int(stats_row["deleted"] or 0),
+                    "skipped_stale": int(stats_row["skipped_stale"] or 0),
+                    "rewritten_files": len(rewrite_files),
+                    "carried_files": len(carry_files),
+                },
+            },
+        )
+        return {
+            "version": version,
+            "inserted": int(stats_row["inserted"] or 0),
+            "updated": int(stats_row["updated"] or 0),
+            "deleted": int(stats_row["deleted"] or 0),
+            "delete_noop": int(stats_row["delete_noop"] or 0),
+            "skipped_stale": int(stats_row["skipped_stale"] or 0),
+            "applied": int(
+                (stats_row["inserted"] or 0)
+                + (stats_row["updated"] or 0)
+                + (stats_row["deleted"] or 0)
+            ),
+            "rewritten_files": len(rewrite_files),
+            "carried_files": len(carry_files),
+            "change_log": change_log,
+        }
+
+    # ------------------------------------------------------------ overwrite
+    def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
+        """Replace all data (used by compaction and bulk loads)."""
+        snap = self.snapshot()
+        version = snap["version"] + 1
+        schema = StructType.fromJson(snap["schema"])
+        key = snap["key_col"]
+        if key is not None:
+            df = df.withColumn(BUCKET_COL, bucket_expr(key, snap["bucket_count"]))
+            ordered = [f.name for f in schema.fields]
+            new_files = self._write_data(df.select(BUCKET_COL, *ordered), version, bucketed=True)
+        else:
+            new_files = self._write_data(df.select([f.name for f in schema.fields]), version, bucketed=False)
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "files": [f.to_json() for f in new_files],
+                "operation": operation,
+                "summary": {},
+            },
+        )
+        return version
+
+    def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> int:
+        """Rewrite the table into one file-set per bucket; optionally GC
+        tombstones (safe once no stale events older than any tombstone
+        can still arrive — the stream's lsn high-watermark governs)."""
+        df = self.read(spark, include_meta=True)
+        if drop_tombstones and TOMBSTONE_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return self.overwrite(df.drop(BUCKET_COL), operation="compact")

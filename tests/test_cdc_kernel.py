@@ -1,0 +1,68 @@
+"""CDC kernel unit tests: validation split, LWW variants, generator."""
+
+from pyspark.sql import functions as F
+
+from horizon_etl_spark.cdc.generator import change_feed, corrupt_feed
+from horizon_etl_spark.cdc.lww import lww_reduce, lww_reduce_salted
+from horizon_etl_spark.cdc.validate import split_valid
+
+
+def test_generator_deterministic(spark):
+    a = change_feed(spark, 500, 50, seed=42).orderBy("lsn", "batch")
+    b = change_feed(spark, 500, 50, seed=42).orderBy("lsn", "batch")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_generator_invariants(spark):
+    feed = change_feed(spark, 2000, 100, seed=42, num_batches=4)
+    # lsn strictly increasing per doc (events unique by (doc,lsn))
+    assert feed.groupBy("doc_id", "lsn").count().filter("count > 2").count() == 0
+    nd = feed.filter(F.col("op") != "delete")
+    assert nd.filter(F.col("n_tok") != F.size("tokens")).count() == 0
+    # deletes carry null payload
+    assert feed.filter((F.col("op") == "delete") & F.col("tokens").isNotNull()).count() == 0
+    # duplicates exist and live in a later batch
+    dupes = feed.groupBy("op", "doc_id", "lsn").count().filter("count > 1")
+    assert dupes.count() > 0
+    # skew: hottest doc gets far more than the mean share
+    per_key = feed.groupBy("doc_id").count()
+    mx = per_key.agg(F.max("count")).collect()[0][0]
+    assert mx > 5 * (2000 / 100)
+
+
+def test_split_valid_reasons(spark):
+    feed = corrupt_feed(spark, 2000, 100)
+    valid, quar = split_valid(feed)
+    assert valid.count() + quar.count() == feed.count()
+    reasons = {r["reason"] for r in quar.select("reason").distinct().collect()}
+    assert {"n_tok_mismatch", "bad_source", "null_doc_id", "empty_tokens"} <= reasons
+    # valid side satisfies every invariant
+    nd = valid.filter(F.col("op") != "delete")
+    assert nd.filter(F.col("n_tok") != F.size("tokens")).count() == 0
+    assert nd.filter(~F.col("source").isin("books", "code", "crawl", "wiki")).count() == 0
+
+
+def test_lww_plain_equals_salted_equals_window(spark):
+    feed = change_feed(spark, 3000, 60, seed=7).drop("batch", "ts")
+    a = lww_reduce(feed).orderBy("doc_id")
+    b = lww_reduce_salted(feed, salt_buckets=8).orderBy("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # window-based oracle
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("lsn"))
+    c = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .drop("rn")
+        .select(*a.columns)
+    )
+    assert a.exceptAll(c).count() == 0 and c.exceptAll(a).count() == 0
+
+
+def test_lww_collapses_duplicates(spark):
+    feed = change_feed(spark, 1000, 40, seed=9)
+    doubled = feed.unionByName(feed)  # verbatim duplicate delivery
+    a = lww_reduce(feed.drop("batch", "ts"))
+    b = lww_reduce(doubled.drop("batch", "ts"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1,0 +1,139 @@
+"""LakeTable: snapshots, merge semantics, pruning, evolution, time travel."""
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from horizon_etl_spark.tables.lake import LSN_COL, TOMBSTONE_COL, LakeTable
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType()), True),
+        StructField("n_tok", IntegerType(), True),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def batch_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(op=op, doc_id=d, lsn=l, tokens=t, n_tok=(len(t) if t else None), source=s)
+         for (op, d, l, t, s) in rows],
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string",
+    )
+
+
+def test_create_read_empty(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4)
+    df = t.read(spark)
+    assert df.count() == 0
+    assert set(df.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    # meta columns live in the physical schema
+    assert {LSN_COL, TOMBSTONE_COL} <= {f.name for f in t.schema().fields}
+
+
+def test_merge_insert_update_delete(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4)
+    s1 = t.merge(batch_df(spark, [
+        ("insert", "a", 1, [1, 2], "wiki"),
+        ("insert", "b", 2, [3], "code"),
+    ]))
+    assert (s1["inserted"], s1["updated"], s1["deleted"]) == (2, 0, 0)
+    s2 = t.merge(batch_df(spark, [
+        ("update", "a", 3, [9, 9, 9], "wiki"),
+        ("delete", "b", 4, None, None),
+        ("insert", "c", 5, [7], "books"),
+    ]))
+    assert (s2["inserted"], s2["updated"], s2["deleted"]) == (1, 1, 1)
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert set(rows) == {"a", "c"}
+    assert rows["a"]["tokens"] == [9, 9, 9]
+    assert rows["a"]["n_tok"] == 3
+
+
+def test_merge_stale_and_replay_idempotent(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4)
+    b1 = batch_df(spark, [("insert", "a", 10, [1], "wiki")])
+    t.merge(b1)
+    # stale event (lower lsn) must not win
+    s = t.merge(batch_df(spark, [("update", "a", 5, [2, 2], "wiki")]))
+    assert s["skipped_stale"] == 1 and s["applied"] == 0
+    # replaying the same batch is a no-op
+    s = t.merge(b1)
+    assert s["skipped_stale"] == 1 and s["applied"] == 0
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [1]
+
+
+def test_delete_tombstone_blocks_stale_reinsert(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4)
+    t.merge(batch_df(spark, [("delete", "a", 10, None, None)]))  # delete arrives first
+    s = t.merge(batch_df(spark, [("insert", "a", 5, [1], "wiki")]))  # stale insert
+    assert s["applied"] == 0 and s["skipped_stale"] == 1
+    assert t.read(spark).count() == 0
+    # but a FRESH re-insert after the delete wins
+    t.merge(batch_df(spark, [("insert", "a", 20, [5], "wiki")]))
+    rows = t.read(spark).collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [5]
+
+
+def test_bucket_pruning_carries_untouched_files(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=16)
+    big = batch_df(spark, [("insert", f"doc-{i:04d}", i, [i], "wiki") for i in range(200)])
+    t.merge(big)
+    n_files_before = len(t.snapshot()["files"])
+    s = t.merge(batch_df(spark, [("update", "doc-0000", 1000, [42], "wiki")]))
+    assert s["carried_files"] > 0, "untouched buckets must carry forward"
+    assert s["rewritten_files"] < n_files_before
+    assert t.read(spark).filter(F.col("doc_id") == "doc-0000").collect()[0]["tokens"] == [42]
+    assert t.read(spark).count() == 200
+
+
+def test_schema_evolution_additive(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4)
+    t.merge(batch_df(spark, [("insert", "a", 1, [1], "wiki")]))
+    evolved = spark.createDataFrame(
+        [("insert", "b", 2, [3, 4], 2, "code", "pt")],
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string, lang string",
+    )
+    t.merge(evolved)
+    df = t.read(spark)
+    assert "lang" in df.columns
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows["a"]["lang"] is None  # old rows read as null — no rewrite
+    assert rows["b"]["lang"] == "pt"
+    with pytest.raises(ValueError):
+        t.evolve_schema(StructType([f for f in t.schema().fields if f.name != "lang"]))
+
+
+def test_time_travel_and_compact(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4)
+    t.merge(batch_df(spark, [("insert", "a", 1, [1], "wiki")]))
+    v2 = t.current_version()
+    t.merge(batch_df(spark, [("delete", "a", 2, None, None)]))
+    assert t.read(spark).count() == 0
+    assert t.read(spark, version=v2).count() == 1  # time travel
+    # compaction GCs the tombstone
+    t.compact(spark)
+    assert t.read(spark).count() == 0
+    phys = t.read(spark, include_meta=True)
+    assert phys.count() == 0, "tombstones GC'd by compact"
+
+
+def test_append_table(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "log"),
+        StructType([StructField("k", StringType()), StructField("v", IntegerType())]),
+    )
+    t.append(spark.createDataFrame([("x", 1)], "k string, v int"))
+    t.append(spark.createDataFrame([("y", 2)], "k string, v int"))
+    assert t.read(spark).count() == 2

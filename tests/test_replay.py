@@ -1,0 +1,114 @@
+"""Replay-equality suite — the north-rule correctness gate (FIXTURES.md §5).
+
+Final state must be identical (token-array equality) after:
+  (a) single-batch full replay,
+  (b) K-batch incremental with cross-batch duplicate re-delivery,
+  (c) K-batch with a whole batch re-applied (crash/retry simulation),
+  (d) batches applied OUT of order,
+  (e) salted-LWW variant,
+and counts must reconcile input == applied-side + deduped + quarantined.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch, replay
+from horizon_etl_spark.cdc.generator import change_feed, corrupt_feed
+from horizon_etl_spark.cdc.oracle import assert_frames_equal, expected_final
+
+E, K = 4000, 200
+
+
+def _feed(spark, num_batches):
+    return change_feed(spark, E, K, seed=42, num_batches=num_batches,
+                       min_len=4, max_len=64)
+
+
+def _final(pipe, spark):
+    return pipe.target.read(spark)
+
+
+def test_single_batch_replay_matches_oracle(spark, tmp_table_dir):
+    feed = _feed(spark, 1)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    replay(pipe, feed)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+
+
+def test_incremental_batches_match_oracle(spark, tmp_table_dir):
+    feed = _feed(spark, 5)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    runs = replay(pipe, feed)
+    assert len(runs) == 5
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+    # reconciliation per run:
+    #   input == applied + skipped_stale + delete_noop + deduped + quarantined
+    for r in runs:
+        assert r["input_rows"] == (
+            r["applied"] + r["skipped_stale"] + r["delete_noop"]
+            + r["deduped"] + r["quarantined"]
+        )
+
+
+def test_batch_redelivery_is_noop(spark, tmp_table_dir):
+    feed = _feed(spark, 3)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    batches = [feed.filter(F.col("batch") == b).drop("batch") for b in range(3)]
+    apply_batch(pipe, batches[0], 0)
+    apply_batch(pipe, batches[1], 1)
+    apply_batch(pipe, batches[1], 1)  # crash/retry: whole batch re-applied
+    apply_batch(pipe, batches[2], 2)
+    apply_batch(pipe, batches[2], 2)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+
+
+def test_out_of_order_batches_converge(spark, tmp_table_dir):
+    feed = _feed(spark, 4)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    for b in (2, 0, 3, 1):  # adversarial batch order
+        apply_batch(pipe, feed.filter(F.col("batch") == b).drop("batch"), b)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+
+
+def test_salted_lww_path_matches(spark, tmp_table_dir):
+    feed = _feed(spark, 2)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    replay(pipe, feed, salted_lww=True)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+
+
+def test_quarantine_and_reconciliation(spark, tmp_table_dir):
+    feed = corrupt_feed(spark, 3000, 150)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run = apply_batch(pipe, feed.drop("batch"), 0)
+    q = pipe.quarantine.read(spark)
+    assert q.count() == run["quarantined"] > 0
+    assert q.filter(F.col("reason").isNull()).count() == 0
+    assert q.filter(F.col("batch_id") != 0).count() == 0
+    # final state equals oracle (which also excludes invalid rows)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+    # full reconciliation
+    assert run["input_rows"] == (
+        run["applied"] + run["skipped_stale"] + run["delete_noop"]
+        + run["deduped"] + run["quarantined"]
+    )
+
+
+def test_lineage_tables_written(spark, tmp_table_dir):
+    feed = _feed(spark, 2)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    replay(pipe, feed)
+    runs = pipe.runs.read(spark).orderBy("batch_id").collect()
+    assert [r["batch_id"] for r in runs] == [0, 1]
+    assert all(r["status"] == "success" for r in runs)
+    m = pipe.metrics.read(spark)
+    assert m.count() > 0
+    assert m.filter(F.col("max_key_rows") < 1).count() == 0
+    cl = pipe.change_log.read(spark)
+    assert cl.filter(~F.col("op_applied").isin(
+        "insert", "update", "delete", "delete_noop", "skipped_stale")).count() == 0
+    # change log has before/after images for updates
+    upd = cl.filter(F.col("op_applied") == "update")
+    if upd.count() > 0:
+        assert upd.filter(F.col("after_n_tok").isNull()).count() == 0

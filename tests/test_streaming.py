@@ -1,0 +1,62 @@
+"""Structured Streaming path: checkpointed resume + exactly-once.
+
+Mirrors the reference's resumable subprocess-isolated phases
+(/root/reference/src/flows/pipelines/weekly_orchestrator.py:1-40) and
+the full-refresh replay equivalence (/root/reference/README.md:219-223).
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from horizon_etl_spark.cdc.apply import CdcPipeline
+from horizon_etl_spark.cdc.generator import change_feed
+from horizon_etl_spark.cdc.oracle import assert_frames_equal, expected_final
+from horizon_etl_spark.streaming.runner import run_stream
+
+
+def _write_feed_files(feed, out_dir, col="batch"):
+    """One parquet file-drop per batch value (the reference's per-year
+    file drops, /root/reference/src/flows/sigpesq/advisorships.py:29-39)."""
+    ids = sorted(r[0] for r in feed.select(col).distinct().collect())
+    for b in ids:
+        feed.filter(F.col(col) == b).drop(col).coalesce(1).write.mode(
+            "append"
+        ).parquet(out_dir)
+    return ids
+
+
+def test_stream_drain_matches_oracle(spark, tmp_table_dir):
+    feed = change_feed(spark, 3000, 150, seed=42, num_batches=4, min_len=4, max_len=32)
+    src = os.path.join(tmp_table_dir, "feed")
+    _write_feed_files(feed, src)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream(
+        spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"), max_files_per_trigger=1
+    )
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+    assert pipe.runs.read(spark).count() >= 4  # one run row per micro-batch
+
+
+def test_stream_restart_from_checkpoint(spark, tmp_table_dir):
+    feed = change_feed(spark, 3000, 150, seed=5, num_batches=6, min_len=4, max_len=32)
+    src = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+
+    # phase 1: only the first half of the files exists; drain and stop
+    first = feed.filter(F.col("batch") < 3)
+    rest = feed.filter(F.col("batch") >= 3)
+    _write_feed_files(first, src)
+    run_stream(spark, pipe, src, ckpt, max_files_per_trigger=1)
+    mid_runs = pipe.runs.read(spark).count()
+    assert mid_runs >= 3
+
+    # phase 2: more files arrive; restart with the SAME checkpoint
+    _write_feed_files(rest, src)
+    run_stream(spark, pipe, src, ckpt, max_files_per_trigger=1)
+
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+    # no batch processed twice: applied totals equal a fresh replay's
+    runs = pipe.runs.read(spark)
+    assert runs.filter(F.col("status") != "success").count() == 0

@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship CDC query (validate → dedup → LWW final
+state) over the sf0.001 events-as-changefeed.  ``queries`` /
+``oracle_sql`` expose the registry in
+``horizon_etl_spark/queries`` — one entry per implemented operator
+family from SURVEY.md §2 plus the training-data ops (dedup, ANN,
+text analysis, multimodal plumbing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC final-state (validate → dedup → LWW, W1 semantics)
+    over the sf0.001 change feed derived from events."""
+    from horizon_etl_spark.cdc.lww import lww_reduce
+    from horizon_etl_spark.cdc.validate import split_valid
+    from horizon_etl_spark.queries.cdc_feed import events_as_feed
+    from pyspark.sql import functions as F
+
+    feed = events_as_feed(spark, "/root/testdata/sf0.001")
+    valid, _ = split_valid(feed)
+    winners = lww_reduce(valid.dropDuplicates(["doc_id", "lsn"]))
+    return winners.filter(F.col("op") != "delete").select(
+        "doc_id", "tokens", "n_tok", "source"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from horizon_etl_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from horizon_etl_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,24 @@
+"""Read-path query library (SURVEY.md §2) + training-data ops.
+
+Every query is registered with an optional DuckDB-equivalent ANSI-SQL
+oracle; ``__spark_entry__.py`` exposes the registry to the driver.
+
+Determinism contract between Spark and DuckDB results (the driver
+hash-compares values):
+  * money/value aggregates go through ``decimal`` casts (exact
+    arithmetic, fixed scale) — never raw double sums, whose value
+    depends on partial-aggregation order;
+  * integer outputs are always ``bigint`` on both sides (DuckDB SUM
+    returns HUGEINT/DECIMAL otherwise);
+  * timestamps are reduced to ``year()`` / DATE — no tz-sensitive
+    string forms.
+"""
+
+from horizon_etl_spark.queries.registry import ORACLES, QUERIES, register, table  # noqa: F401
+
+# importing the modules populates the registry
+from horizon_etl_spark.queries import relational  # noqa: E402,F401
+from horizon_etl_spark.queries import cdc_feed  # noqa: E402,F401
+from horizon_etl_spark.queries import text  # noqa: E402,F401
+from horizon_etl_spark.queries import vectors  # noqa: E402,F401
+from horizon_etl_spark.queries import multimodal  # noqa: E402,F401

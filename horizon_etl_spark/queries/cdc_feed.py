@@ -1,0 +1,206 @@
+"""CDC semantics over the ``events`` testdata table.
+
+``events`` (event_id, ts, user_id, event_type, value, props) is treated
+as a binlog/WAL change feed: ``event_id`` is the monotonic lsn,
+``user_id`` the entity key — exactly the reference's source-record →
+canonical-entity model (/root/reference/src/tracking/entities/source_record.py:8-53).
+
+``cdc_apply_events`` is the flagship: it derives a typed change feed
+from the table, runs the REAL apply kernel (validate → quarantine →
+dedup → LWW → MERGE into a lake table) over three micro-batches, and
+returns the final table state — which the DuckDB oracle reproduces with
+one window query.  This oracle-checks the engine itself, not just an
+expression.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from horizon_etl_spark.queries.registry import register, table
+
+# event_type → (op, source) mapping used by both Spark and the oracle:
+# 'purchase' → delete event; 'error' → non-whitelisted source (rows get
+# quarantined, reference placeholder-source rule etl_flow_reporter.py:190-225).
+_SRC_CASE = (
+    "CASE event_type WHEN 'click' THEN 'crawl' WHEN 'view' THEN 'wiki' "
+    "WHEN 'signup' THEN 'books' ELSE 'darkweb' END"
+)
+
+
+def events_as_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the typed change feed (op, doc_id, lsn, tokens, n_tok, source)."""
+    e = table(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "purchase"
+    src = (
+        F.when(F.col("event_type") == "click", "crawl")
+        .when(F.col("event_type") == "view", "wiki")
+        .when(F.col("event_type") == "signup", "books")
+        .otherwise("darkweb")
+    )
+    tokens = F.array(
+        F.floor(F.col("value") * 100).cast("int"),
+        (F.col("event_id") % 997).cast("int"),
+    )
+    return e.select(
+        F.when(is_del, "delete").otherwise("update").alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(~is_del, tokens).alias("tokens"),
+        F.when(~is_del, F.lit(2)).cast("int").alias("n_tok"),
+        src.alias("source"),
+        F.col("ts"),
+    )
+
+
+@register(
+    "cdc_apply_events",
+    oracle=f"""
+    WITH feed AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
+             {_SRC_CASE} AS source,
+             value
+      FROM events
+    ), valid AS (
+      SELECT * FROM feed
+      WHERE op = 'delete' OR source IN ('books','code','crawl','wiki')
+    ), w AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+      FROM valid
+    )
+    SELECT doc_id,
+           [CAST(floor(value*100) AS INT), CAST(lsn % 997 AS INT)] AS tokens,
+           CAST(2 AS INT) AS n_tok,
+           source
+    FROM w WHERE rn = 1 AND op <> 'delete'
+    """,
+)
+def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC apply (§3.1 lifecycle): three micro-batches split
+    by lsn range, each validated/quarantined/deduped/LWW-reduced and
+    MERGEd; returns the final target state.  The oracle is the pure
+    window query — replay through the engine must equal it bit-for-bit
+    (token-array-equality invariant)."""
+    from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+
+    feed = events_as_feed(spark, sf_dir)
+    lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    # stable scratch location (fresh per call) so the returned DataFrame
+    # stays lazily readable by the caller — no driver-side collect.
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "horizon_etl_spark_queries",
+        f"cdc_apply_events_{abs(hash(sf_dir)) % 10**8}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    pipe = CdcPipeline.create(root, bucket_count=8)
+    span = max(1, (int(hi) - int(lo) + 3) // 3)  # ceil(n/3)
+    for b in range(3):
+        batch = feed.filter(
+            (F.col("lsn") >= int(lo) + b * span) & (F.col("lsn") < int(lo) + (b + 1) * span)
+        )
+        apply_batch(pipe, batch, batch_id=b, collect_metrics=False, with_change_log=False)
+    return pipe.target.read(spark).select("doc_id", "tokens", "n_tok", "source")
+
+
+@register(
+    "cdc_lww_state",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(last_event_id AS BIGINT) AS last_event_id,
+           last_type,
+           CAST(last_value AS DECIMAL(18,2)) AS last_value
+    FROM (
+      SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins per key (W1): the core conflict-resolution
+    primitive (canonical_exporter.py:733-753 ORDER BY ... DESC, first
+    hit wins) as a partial-agg-friendly max_by, not a window."""
+    e = table(spark, sf_dir, "events")
+    payload = F.struct("event_id", "event_type", "value")
+    return (
+        e.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(F.max_by(payload, F.col("event_id")).alias("w"))
+        .select(
+            "user_id",
+            F.col("w.event_id").cast("long").alias("last_event_id"),
+            F.col("w.event_type").alias("last_type"),
+            F.col("w.value").cast("decimal(18,2)").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "first_last_event_per_user",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           arg_min(event_type, event_id) AS first_type,
+           arg_max(event_type, event_id) AS last_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last change per entity (W3): created_by = changes[0],
+    last_updated_by = changes[-1] (canonical_exporter.py:755-780)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(F.col("user_id").cast("long").alias("user_id")).agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "event_type_metrics",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step table metrics (A8): etl_flow_reporter.py:46-63."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+    )
+
+
+@register(
+    "events_quarantine_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_SRC_CASE} NOT IN ('books','code','crawl','wiki')
+                 AND event_type <> 'purchase' THEN 'bad_source'
+                ELSE 'valid' END AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def events_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split + reconciliation counts (P2/T9/A8): bad rows are
+    counted per reason, never dropped silently (project_loader.py:115-127)."""
+    from horizon_etl_spark.cdc.validate import reason_column
+
+    feed = events_as_feed(spark, sf_dir)
+    return (
+        feed.withColumn("reason", F.coalesce(reason_column(), F.lit("valid")))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,134 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, processed by Arrow-batched ``mapInPandas`` — the pattern for
+image/audio/video columns in a training-data lake.
+
+The decode step is STUBBED (no image/audio libs in this container) with
+a deterministic fake "decoder"; everything Spark-side — schema, batch
+iteration, partitioning, output shape — is real and tested
+(tests/test_multimodal.py).
+
+``binary_meta`` is the oracle-checked slice: it synthesizes the binary
+column from documents.text (utf-8 encode) and computes metadata with
+JVM builtins only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from horizon_etl_spark.queries.registry import register, table
+
+# typed metadata travelling beside the opaque payload — the multimodal
+# analogue of the reference's JSON `metadata` side-channel for unknown
+# source columns (/root/reference/src/core/logic/initiative_handlers.py:64-66)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("checksum", LongType(), True),
+    ]
+)
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a media table: text bytes stand in for encoded frames."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, "image/fake").otherwise("audio/fake").alias(
+            "media_type"
+        ),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for an image decode: derives (w, h,
+    checksum) from the bytes.  A real deployment swaps this for
+    PIL/libav inside the same mapInPandas kernel — the Spark plumbing
+    (Arrow batches in, typed rows out) is unchanged."""
+    if payload is None:
+        raise NotImplementedError("real decoder not available in this container")
+    checksum = 0
+    for by in payload[:64]:
+        checksum = (checksum * 131 + by) % (1 << 31)
+    return (checksum % 640) + 1, (checksum % 480) + 1, checksum
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (mapInPandas — the multimodal decode/resize/frame-sample slot)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "checksum": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "binary_meta",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type
+    FROM documents
+    """,
+)
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction with JVM builtins (byte length
+    + content hash) — the cheap pre-filter that runs before any decode."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+        F.when(F.col("doc_id") % 2 == 0, "image/fake")
+        .otherwise("audio/fake")
+        .alias("media_type"),
+    )
+
+
+@register("media_features")  # mapInPandas decode stub — rows-only check
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal pipeline: synthesize binary media → Arrow-batched
+    fake decode → typed feature rows."""
+    return extract_features(media_from_documents(spark, sf_dir))

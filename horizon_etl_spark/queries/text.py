@@ -1,0 +1,379 @@
+"""Text-analysis & deduplication operators over the ``documents`` table —
+the training-data-pipeline surface (language-ID, quality scoring, token
+counting, fingerprinting, exact + near dedup).
+
+All oracle-checked queries emit only exactly-representable values
+(strings, bigints, md5 hex) — similarity ratios are carried as
+(intersection, union) integer pairs so the DuckDB comparison is exact.
+
+Scale notes: fingerprint/exact-dedup are map-side + one hash agg on the
+fingerprint (no skew: hashes are uniform).  Near-dup pair generation is
+*blocked* on (lang, source) before the self-join — at 100 TB the block
+key would be a banded MinHash bucket (see ``minhash_dedup``), never an
+unblocked cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from horizon_etl_spark.queries.registry import register, table
+
+# canonical whitespace-token split used by token_count/quality/shingles
+_WS = " +"
+
+
+def _words(col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(col)), _WS)
+
+
+# ---------------------------------------------------------------- tokens
+@register(
+    "doc_token_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_distinct_words,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting — the `token counting` op of the
+    training-data surface; split mirrors strategies/base.py:78-83
+    list-splitting in the reference."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_word_chars"
+        ),
+    )
+
+
+# --------------------------------------------------------------- quality
+@register(
+    "doc_quality_score",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CASE WHEN n_words >= 20 AND n_stop * 10 >= n_words THEN 'keep'
+                WHEN n_words >= 5 THEN 'review' ELSE 'drop' END AS quality_bucket
+    FROM (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), ' +')) AS n_words,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('the','a','of','and','data'))) AS n_stop
+      FROM documents
+    )
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring via length/stopword-ratio heuristics — the
+    validation-filter idea of the reference (P2 approval predicate,
+    project_loader.py:524-529) re-targeted at document quality."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+    stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "data")])
+    n_words = F.size(w)
+    # F.filter keeps duplicates — a count, not a set-intersect
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    bucket = (
+        F.when((n_words >= 20) & (n_stop * 10 >= n_words), "keep")
+        .when(n_words >= 5, "review")
+        .otherwise("drop")
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stop"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+# ---------------------------------------------------------------- langid
+@register(
+    "lang_id_heuristic",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS labeled_lang,
+           CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS pred_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('the','a','of'))) AS c_en,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('el','la','de'))) AS c_es,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('der','die','das'))) AS c_de
+      FROM documents
+    )
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word-voting language ID (n-gram heuristic family).
+    Deterministic argmax with a fixed preference order on ties."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+
+    def count_in(words: tuple[str, ...]) -> F.Column:
+        arr = F.array([F.lit(s) for s in words])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    c_en = count_in(("the", "a", "of"))
+    c_es = count_in(("el", "la", "de"))
+    c_de = count_in(("der", "die", "das"))
+    pred = (
+        F.when((c_en >= c_es) & (c_en >= c_de), "en")
+        .when(c_es >= c_de, "es")
+        .otherwise("de")
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+    )
+
+
+# ----------------------------------------------------------- fingerprint
+_NORM_SQL = "md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))"
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text — the stable_hash idea (tracking/recorder.py:36-40: hash of a
+    canonicalized serialization)."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.md5(norm).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------- exact dedup
+@register(
+    "exact_dedup_docs",
+    oracle=f"""
+    SELECT {_NORM_SQL} AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep the
+    min doc_id — the payload-hash unique-constraint dedup of the
+    reference (source_record.py:10-17) as a distributed group-by."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), F.col("doc_id").cast("long").alias("doc_id"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------- n-gram jaccard
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, lang, source,
+                   regexp_split_to_array(trim(text), ' +') AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_inter,
+           CAST(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS n_union
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 5
+          >= (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles)))
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs, blocked on (lang, source):
+    candidate pairs J >= 0.2, similarity reported as exact integer
+    (intersection, union).  The blocked self-join is the scalable shape
+    of reference fuzzy matching (person_matcher.py:216-241: block on a
+    normalized key, score within block)."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    sh = (
+        d.withColumn("w", w)
+        .filter(F.size("w") >= 3)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "source",
+            shingles.alias("shingles"),
+        )
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+        )
+        .filter(F.col("n_inter") * 5 >= F.col("n_union"))
+    )
+
+
+# ------------------------------------------------------------- minhash
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """MinHash signatures over word-3-gram shingles, all JVM-side:
+    shingle → xxhash64(shingle, seed_i) → min per doc per i.
+
+    At 100 TB this is one narrow map + partial-agg groupBy(doc_id) —
+    no shuffle of shingle rows (the explode stays within the stage and
+    collapses map-side)."""
+    w = F.split(F.trim(F.col(text_col)), _WS)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s, seed))
+        ),
+    )
+    return (
+        docs.withColumn("shingles", shingles)
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", sig)
+    )
+
+
+@register("minhash_dedup")  # no SQL oracle: xxhash64 has no DuckDB twin
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates: signatures → band
+    buckets (band = hash of 4 consecutive sig slots) → pairs sharing a
+    bucket → verified by signature agreement >= 50%.
+
+    This is the 100-TB-scale path: candidate generation is a groupBy on
+    (band_id, band_hash) — work is proportional to collisions, never to
+    |docs|² (the blocked-jaccard query above is the small-scale twin)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=16).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "sig"
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(F.slice(F.col("sig"), b * 4 + 1, 4)).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            agree.cast("long").alias("n_agree"),
+        )
+        .distinct()
+        .filter(F.col("n_agree") * 2 >= 16)
+    )
+
+
+@register("simhash_docs")  # no SQL oracle: xxhash64 bit ops
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: per-word xxhash64, per-bit vote sum,
+    sign → bit.  Emitted as the hash plus its 4 16-bit bands (hamming
+    candidate buckets).  All JVM expressions — no UDF."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+    hashes = F.transform(F.array_distinct(w), lambda s: F.xxhash64(s))
+    # one aggregate per bit (static unroll — single pass over the array
+    # per bit, all inside whole-stage codegen)
+    def _vote(b: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_votes = F.array(*[F.aggregate(F.col("h"), F.lit(0), _vote(b)) for b in range(64)])
+    # sign bit (63) must carry the long's sign: add -2^63 instead of 1<<63
+    simhash = sum(
+        [
+            F.when(F.element_at(F.col("votes"), b + 1) > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for b in range(63)
+        ],
+        F.when(F.element_at(F.col("votes"), 64) > 0, F.lit(-(2**63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    out = (
+        d.select(F.col("doc_id").cast("long").alias("doc_id"), hashes.alias("h"))
+        .withColumn("votes", bit_votes)
+        .withColumn("simhash", simhash)
+    )
+    for i in range(4):
+        out = out.withColumn(
+            f"band{i}",
+            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long"),
+        )
+    return out.select("doc_id", "simhash", "band0", "band1", "band2", "band3")

@@ -1,0 +1,145 @@
+"""Benchmark harness — prints ONE JSON line to stdout.
+
+Headline: CDC apply throughput (change-events/sec) through the full
+kernel (validate → quarantine → dedup → LWW → MERGE) on a generated
+change feed staged to parquet (the binlog tail), scaled by sf; plus
+wall times for representative read-path queries at
+``$SPARK_GRAFT_SF_DIR``.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]       (default 32)
+  BENCH_CDC_EVENTS     feed size      (default 1_500_000 * sf/0.1)
+  BENCH_QUERIES        comma list     (default the headline set)
+
+Scaling evidence (BASELINE.json north_rule: efficiency >= 0.8 between
+N and 4N executors) is produced by tools/bench_scaling.py, which runs
+this module's CDC stage at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+HEADLINE_QUERIES = [
+    "pricing_summary",
+    "region_revenue",
+    "top_revenue_orders",
+    "brand_revenue",
+    "cdc_lww_state",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "minhash_dedup",
+    "knn_bruteforce",
+    "binary_meta",
+]
+
+
+def infer_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_cdc_bench(spark, num_events: int, num_keys: int, num_batches: int = 4) -> dict:
+    """Stage a deterministic feed to parquet (not timed), then time the
+    full replay through the apply kernel."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc.apply import CdcPipeline, replay
+    from horizon_etl_spark.cdc.generator import change_feed
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "cdc")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+
+    cpus = spark.sparkContext.defaultParallelism
+    t0 = time.time()
+    feed = change_feed(
+        spark, num_events, num_keys, seed=42, num_batches=num_batches, partitions=cpus * 2
+    )
+    feed.write.mode("overwrite").parquet(f"{root}/feed")
+    gen_s = time.time() - t0
+    staged = spark.read.parquet(f"{root}/feed")
+    n_staged = staged.count()
+
+    pipe = CdcPipeline.create(f"{root}/pipe", bucket_count=max(16, cpus))
+    t0 = time.time()
+    runs = replay(pipe, staged, collect_metrics=True, with_change_log=False)
+    apply_s = time.time() - t0
+
+    final_rows = pipe.target.read(spark).count()
+    stats = {
+        "events": n_staged,
+        "batches": len(runs),
+        "feed_gen_sec": round(gen_s, 2),
+        "apply_sec": round(apply_s, 2),
+        "events_per_sec": round(n_staged / apply_s, 1),
+        "final_rows": final_rows,
+        "applied": sum(r["applied"] for r in runs),
+        "quarantined": sum(r["quarantined"] for r in runs),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = infer_sf(sf_dir)
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from horizon_etl_spark.session import build_session
+
+    spark = build_session(
+        "horizon-etl-bench", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
+    )
+    log(f"bench: sf_dir={sf_dir} sf={sf} cpus={cpus}")
+
+    timings: dict[str, float] = {}
+
+    default_events = int(1_500_000 * (sf / 0.1)) if sf else 1_500_000
+    num_events = int(os.environ.get("BENCH_CDC_EVENTS", default_events))
+    num_keys = max(1000, num_events // 20)
+    cdc = run_cdc_bench(spark, num_events, num_keys)
+    timings["cdc_apply"] = cdc["apply_sec"]
+    log(f"cdc: {cdc}")
+
+    from horizon_etl_spark.queries import QUERIES
+
+    names = os.environ.get("BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINE_QUERIES
+    for name in names:
+        t0 = time.time()
+        n = QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 2)
+        log(f"query {name}: {n} rows in {timings[name]}s")
+
+    total = round(sum(timings.values()), 2)
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc": cdc,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,16 +92,45 @@ def apply_batch(
     salt_buckets: int = 32,
     collect_metrics: bool = True,
     with_change_log: bool = True,
+    persist_source: bool = False,
 ) -> dict[str, Any]:
-    """Apply one micro-batch of change events; returns the run stats row."""
+    """Apply one micro-batch of change events; returns the run stats row.
+
+    ``persist_source``: cache the decoded+validated batch between the
+    quarantine pass and the LWW pass.  Off for cheap columnar feeds
+    (parquet re-scan beats a cache round-trip); ON for expensive
+    decodes (JSON/Avro WAL tails), where it halves the dominant parse
+    cost."""
+    from pyspark.sql import Observation
+
     started = _now()
     spark = batch.sparkSession
     if "batch" in batch.columns:
         batch = batch.drop("batch")
 
-    tagged = batch.withColumn("_reason", _reason()).persist()
+    # Bandwidth-lean plan: exactly TWO full passes over the raw batch,
+    # no whole-batch caching (each cache round-trip costs a read+write
+    # of the full payload — measurable at 100 TB and on any
+    # bandwidth-bound node):
+    #   pass 1: quarantine write; input/valid counts ride the same job
+    #           via an Observation (no separate count pass)
+    #   pass 2: LWW reduction (partial+final hash agg) materialized
+    #           into the persisted `winners` (≤1 small row per key);
+    #           per-key event counts for the skew metrics ride the
+    #           same shuffle (`with_counts`)
+    # Everything downstream (metrics, MERGE, stats) reads only
+    # `winners` / the target — never the raw feed again.
+    obs = Observation(f"apply_batch_{batch_id}")
+    reason = _reason()
+    tagged = batch.withColumn("_reason", reason).observe(
+        obs,
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.when(F.col("_reason").isNull(), 1).otherwise(0)).alias("valid_rows"),
+    )
+    if persist_source:
+        tagged = tagged.persist()
+    winners = None
     try:
-        valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
         quarantined = (
             tagged.filter(F.col("_reason").isNotNull())
             .withColumnRenamed("_reason", "reason")
@@ -109,26 +138,29 @@ def apply_batch(
         )
         pipe.quarantine.append(quarantined, operation=f"quarantine(batch={batch_id})")
 
-        counts = tagged.agg(
-            F.count(F.lit(1)).alias("input_rows"),
-            F.sum(F.when(F.col("_reason").isNull(), 1).otherwise(0)).alias("valid_rows"),
-        ).collect()[0]
+        counts = obs.get
         input_rows = int(counts["input_rows"])
         valid_rows = int(counts["valid_rows"] or 0)
         quarantined_rows = input_rows - valid_rows
 
-        if collect_metrics:
-            _write_partition_metrics(pipe, valid, batch_id)
-
         # within-batch dedup + LWW collapse in one reduction: duplicate
         # (doc_id, lsn) rows are byte-identical, so max_by keeps exactly
         # one; cross-batch dups are killed by the merge lsn-guard.
+        if persist_source:
+            valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+        else:
+            valid = batch.filter(reason.isNull())
         reducer = lww_reduce_salted if salted_lww else lww_reduce
         kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
-        winners = reducer(valid.drop("ts"), key="doc_id", order="lsn", **kwargs)
+        winners = reducer(
+            valid.drop("ts"), key="doc_id", order="lsn", with_counts=True, **kwargs
+        ).persist()
+
+        if collect_metrics:
+            _write_bucket_metrics(pipe, winners, batch_id)
 
         stats = pipe.target.merge(
-            winners,
+            winners.drop("_key_events"),
             op_col="op",
             lsn_col="lsn",
             delete_op="delete",
@@ -183,7 +215,10 @@ def apply_batch(
             pass
         raise
     finally:
-        tagged.unpersist()
+        if persist_source:
+            tagged.unpersist()
+        if winners is not None:
+            winners.unpersist()
 
 
 def _reason():
@@ -192,24 +227,23 @@ def _reason():
     return reason_column()
 
 
-def _write_partition_metrics(pipe: CdcPipeline, valid: DataFrame, batch_id: int) -> None:
+def _write_bucket_metrics(pipe: CdcPipeline, winners: DataFrame, batch_id: int) -> None:
     """Per-partition lineage (north_rule 'per-partition lineage + metrics'):
-    rows, distinct keys, hottest-key row count, approx payload bytes —
-    the skew observability that motivates salted LWW."""
-    per_key = (
-        valid.groupBy(F.spark_partition_id().alias("partition_id"), "doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("key_rows"),
-            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)) * 4 + 64).alias("key_bytes"),
-        )
-    )
+    per target bucket — events in, distinct keys, hottest-key event
+    count (the skew signal that motivates salted LWW), winner payload
+    bytes.  Computed entirely from the already-reduced ``winners``
+    (whose ``_key_events`` rode the LWW shuffle) — zero extra passes
+    over the raw feed."""
+    from horizon_etl_spark.tables.lake import bucket_expr
+
+    nb = pipe.target.bucket_count or 16
     m = (
-        per_key.groupBy("partition_id")
+        winners.groupBy(bucket_expr("doc_id", nb).alias("bucket_id"))
         .agg(
-            F.sum("key_rows").alias("rows_in"),
+            F.sum("_key_events").alias("rows_in"),
             F.count(F.lit(1)).alias("distinct_keys"),
-            F.max("key_rows").alias("max_key_rows"),
-            F.sum("key_bytes").alias("approx_bytes"),
+            F.max("_key_events").alias("max_key_rows"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)) * 4 + 64).alias("winner_bytes"),
         )
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )
@@ -223,6 +257,7 @@ def replay(
     salted_lww: bool = False,
     collect_metrics: bool = True,
     with_change_log: bool = True,
+    persist_source: bool = False,
 ) -> list[dict[str, Any]]:
     """Batch-mode replay of a whole feed, honoring its ``batch`` column
     (or as one batch).  Used by tests and bench; the streaming path in
@@ -241,6 +276,7 @@ def replay(
                     salted_lww=salted_lww,
                     collect_metrics=collect_metrics,
                     with_change_log=with_change_log,
+                    persist_source=persist_source,
                 )
             )
     else:
@@ -252,6 +288,7 @@ def replay(
                 salted_lww=salted_lww,
                 collect_metrics=collect_metrics,
                 with_change_log=with_change_log,
+                persist_source=persist_source,
             )
         )
     return results

@@ -35,16 +35,23 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def lww_reduce(
-    df: DataFrame, key: str = "doc_id", order: str = "lsn"
+    df: DataFrame, key: str = "doc_id", order: str = "lsn", with_counts: bool = False
 ) -> DataFrame:
     """One surviving event per key: the one with the highest ``order``.
 
-    Output columns == input columns (winner's full row).
-    """
+    Output columns == input columns (winner's full row).  With
+    ``with_counts`` an extra ``_key_events`` column carries the number
+    of collapsed events per key — the hot-key/skew signal, computed for
+    free inside the same partial+final aggregation (no extra pass over
+    the raw feed)."""
     others = [c for c in df.columns if c != key]
     payload = F.struct(*[F.col(c) for c in others])
-    w = F.max_by(payload, F.col(order)).alias("_w")
-    return df.groupBy(key).agg(w).select(key, "_w.*")
+    aggs = [F.max_by(payload, F.col(order)).alias("_w")]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("_key_events"))
+    out = df.groupBy(key).agg(*aggs)
+    cols = [key, "_w.*"] + (["_key_events"] if with_counts else [])
+    return out.select(*cols)
 
 
 def lww_reduce_salted(
@@ -52,6 +59,7 @@ def lww_reduce_salted(
     key: str = "doc_id",
     order: str = "lsn",
     salt_buckets: int = 32,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Explicit two-phase salted LWW (SURVEY.md §4 'salted two-phase LWW').
 
@@ -65,9 +73,23 @@ def lww_reduce_salted(
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(order)), F.lit(salt_buckets))
     )
+    aggs = [F.max_by(payload, F.col(order)).alias("_w")]
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("_part_events"))
     phase1 = (
         salted.groupBy(key, "_salt")
-        .agg(F.max_by(payload, F.col(order)).alias("_w"))
-        .select(key, F.col("_w.*"))
+        .agg(*aggs)
+        .select(key, F.col("_w.*"), *(["_part_events"] if with_counts else []))
     )
-    return lww_reduce(phase1, key=key, order=order)
+    if not with_counts:
+        return lww_reduce(phase1, key=key, order=order)
+    others2 = [c for c in phase1.columns if c not in (key, "_part_events")]
+    payload2 = F.struct(*[F.col(c) for c in others2])
+    return (
+        phase1.groupBy(key)
+        .agg(
+            F.max_by(payload2, F.col(order)).alias("_w"),
+            F.sum("_part_events").alias("_key_events"),
+        )
+        .select(key, "_w.*", "_key_events")
+    )

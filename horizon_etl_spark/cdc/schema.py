@@ -68,11 +68,11 @@ RUNS_SCHEMA = StructType(
 METRICS_SCHEMA = StructType(
     [
         StructField("batch_id", LongType(), True),
-        StructField("partition_id", IntegerType(), True),
+        StructField("bucket_id", IntegerType(), True),
         StructField("rows_in", LongType(), True),
         StructField("distinct_keys", LongType(), True),
         StructField("max_key_rows", LongType(), True),
-        StructField("approx_bytes", LongType(), True),
+        StructField("winner_bytes", LongType(), True),
     ]
 )
 

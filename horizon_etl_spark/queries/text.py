@@ -225,8 +225,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    par = spark.sparkContext.defaultParallelism
     sh = (
-        d.withColumn("w", w)
+        d.repartition(par)  # small-file scan is 1 task; spread the shingle work
+        .withColumn("w", w)
         .filter(F.size("w") >= 3)
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -234,6 +236,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             shingles.alias("shingles"),
         )
+        .localCheckpoint(eager=False)  # compute shingles once, not per join side
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -298,12 +301,16 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_id, band_hash) — work is proportional to collisions, never to
     |docs|² (the blocked-jaccard query above is the small-scale twin)."""
     d = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, num_hashes=16).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "sig"
+    par = spark.sparkContext.defaultParallelism
+    # signatures computed exactly once (localCheckpoint cuts the lineage
+    # so neither the band self-join nor the verify join recomputes them)
+    sigs = (
+        minhash_signatures(d.repartition(par), num_hashes=16)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "sig")
+        .localCheckpoint(eager=False)
     )
     bands = sigs.select(
         "doc_id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(3)),
@@ -313,28 +320,30 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "sig", "band.band_id", "band.band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    agree = F.size(
-        F.filter(
-            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    )
-    return (
-        a.join(
-            b,
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    # candidate pairs: narrow (id, band) rows only — signature payloads
+    # stay out of the shuffle (work ∝ bucket collisions, not |docs|²)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            agree.cast("long").alias("n_agree"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    # verify: join the small signature table back in (broadcast)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y), lambda e: e)
+    )
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", agree.cast("long").alias("n_agree"))
         .filter(F.col("n_agree") * 2 >= 16)
     )
 

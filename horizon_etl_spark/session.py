@@ -33,6 +33,13 @@ def build_session(
         # parquet scan parallelism at 100 TB is governed by this; the
         # default 128 MiB is right for the real cluster, keep it explicit.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # zstd everywhere: ~2× smaller files/shuffle blocks than snappy/lz4
+        # for token arrays — trades cheap CPU for scarce bandwidth, the
+        # right direction on both a 1000-executor lake and this sandbox
+        # (reference parquet mirror also ships zstd,
+        # /root/reference/src/scripts/export_parquet.py:31-70)
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.io.compression.codec", "zstd")
     )
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

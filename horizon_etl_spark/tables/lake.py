@@ -315,10 +315,11 @@ class LakeTable:
             )
             if not has_data:
                 return []
-            spark = df.sparkSession
-            written = spark.read.parquet(out_dir)
+            # per-bucket pruning stats from the source plan (callers pass
+            # a cached/cheap df) — NOT a re-read of the written parquet,
+            # which would cost a full decode of the table per merge.
             stats = (
-                written.groupBy(BUCKET_COL)
+                df.groupBy(BUCKET_COL)
                 .agg(
                     F.count(F.lit(1)).alias("rows"),
                     F.min(key).alias("min_key"),

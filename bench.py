@@ -68,16 +68,24 @@ def run_cdc_bench(spark, num_events: int, num_keys: int, num_batches: int = 4) -
     cpus = spark.sparkContext.defaultParallelism
     t0 = time.time()
     feed = change_feed(
-        spark, num_events, num_keys, seed=42, num_batches=num_batches, partitions=cpus * 2
+        spark,
+        num_events,
+        num_keys,
+        seed=42,
+        num_batches=num_batches,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")),
+        partitions=cpus * 2,
     )
-    feed.write.mode("overwrite").parquet(f"{root}/feed")
+    # partition the staged feed by batch so each micro-batch scan prunes
+    # to its own files (the binlog-segment layout)
+    feed.write.mode("overwrite").partitionBy("batch").parquet(f"{root}/feed")
     gen_s = time.time() - t0
     staged = spark.read.parquet(f"{root}/feed")
     n_staged = staged.count()
 
     pipe = CdcPipeline.create(f"{root}/pipe", bucket_count=max(16, cpus))
     t0 = time.time()
-    runs = replay(pipe, staged, collect_metrics=True, with_change_log=False)
+    runs = replay(pipe, staged, collect_metrics=True, with_change_log=False, with_rollup=True)
     apply_s = time.time() - t0
 
     final_rows = pipe.target.read(spark).count()
@@ -110,7 +118,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    default_events = int(1_500_000 * (sf / 0.1)) if sf else 1_500_000
+    default_events = int(1_000_000 * (sf / 0.1)) if sf else 1_000_000
     num_events = int(os.environ.get("BENCH_CDC_EVENTS", default_events))
     num_keys = max(1000, num_events // 20)
     cdc = run_cdc_bench(spark, num_events, num_keys)

@@ -45,6 +45,7 @@ class CdcPipeline:
     runs: LakeTable
     metrics: LakeTable
     change_log: LakeTable
+    rollup: LakeTable
 
     @classmethod
     def create(cls, root: str, bucket_count: int = 16) -> "CdcPipeline":
@@ -60,10 +61,12 @@ class CdcPipeline:
             runs=LakeTable.create(os.path.join(root, "runs"), S.RUNS_SCHEMA),
             metrics=LakeTable.create(os.path.join(root, "metrics"), S.METRICS_SCHEMA),
             change_log=LakeTable.create(os.path.join(root, "change_log"), S.CHANGE_LOG_SCHEMA),
+            rollup=LakeTable.create(os.path.join(root, "rollup"), S.ROLLUP_SCHEMA),
         )
 
     @classmethod
     def load(cls, root: str) -> "CdcPipeline":
+        rollup_path = os.path.join(root, "rollup")
         return cls(
             root=root,
             target=LakeTable.load(os.path.join(root, "target")),
@@ -71,6 +74,11 @@ class CdcPipeline:
             runs=LakeTable.load(os.path.join(root, "runs")),
             metrics=LakeTable.load(os.path.join(root, "metrics")),
             change_log=LakeTable.load(os.path.join(root, "change_log")),
+            rollup=(
+                LakeTable.load(rollup_path)
+                if LakeTable.exists(rollup_path)
+                else LakeTable.create(rollup_path, S.ROLLUP_SCHEMA)
+            ),
         )
 
     @classmethod
@@ -92,6 +100,7 @@ def apply_batch(
     salt_buckets: int = 32,
     collect_metrics: bool = True,
     with_change_log: bool = True,
+    with_rollup: bool = False,
     persist_source: bool = False,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events; returns the run stats row.
@@ -167,6 +176,17 @@ def apply_batch(
             change_log_sink=pipe.change_log if with_change_log else None,
             change_log_extra={"batch_id": batch_id},
         )
+        if with_rollup:
+            # incremental derived-aggregate maintenance (A3 analogue:
+            # the reference recomputes parent MIN/MAX rollups after each
+            # ingest, project_loader.py:135-257; here the per-source
+            # rollup is maintained from the batch's change images, so a
+            # replayed batch — whose changes all report skipped_stale —
+            # contributes zero delta: exactly-once extends to the MV).
+            # the lazy change-image frame recomputes from the pre-merge
+            # snapshot + still-cached winners — O(batch), unlike a scan
+            # of the ever-growing change_log table
+            _maintain_rollup(pipe, stats["change_log"])
         lww_rows = (
             stats["inserted"]
             + stats["updated"]
@@ -227,6 +247,50 @@ def _reason():
     return reason_column()
 
 
+def _maintain_rollup(pipe: CdcPipeline, changes: DataFrame) -> None:
+    """Fold one batch's change images into the per-source rollup table
+    (source → n_docs, total_tokens).
+
+    Each applied change contributes up to two signed deltas — a
+    retraction against the before-image's source and an addition for
+    the after-image's (sources can differ when a doc moves) — which is
+    the standard retract/accumulate shape of incremental view
+    maintenance.  ``skipped_stale``/``delete_noop`` changes contribute
+    nothing, so re-delivered batches leave the rollup untouched.
+
+    The rollup's cardinality is |sources| (tiny), so the update is a
+    read + union + overwrite; a high-cardinality derived table would
+    use a keyed additive MERGE instead (same delta feed)."""
+    spark = changes.sparkSession
+    applied = changes.filter(F.col("op_applied").isin("insert", "update", "delete"))
+    before = applied.filter(F.col("before_source").isNotNull()).select(
+        F.col("before_source").alias("source"),
+        F.lit(-1).cast("long").alias("d_docs"),
+        (-F.coalesce(F.col("before_n_tok"), F.lit(0))).cast("long").alias("d_tokens"),
+    )
+    after = applied.filter(F.col("after_source").isNotNull()).select(
+        F.col("after_source").alias("source"),
+        F.lit(1).cast("long").alias("d_docs"),
+        F.coalesce(F.col("after_n_tok"), F.lit(0)).cast("long").alias("d_tokens"),
+    )
+    deltas = (
+        before.unionByName(after)
+        .groupBy("source")
+        .agg(F.sum("d_docs").alias("n_docs"), F.sum("d_tokens").alias("total_tokens"))
+    )
+    cur = pipe.rollup.read(spark)
+    merged = (
+        cur.unionByName(deltas)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_tokens").cast("long").alias("total_tokens"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
+    pipe.rollup.overwrite(merged, operation="rollup")
+
+
 def _write_bucket_metrics(pipe: CdcPipeline, winners: DataFrame, batch_id: int) -> None:
     """Per-partition lineage (north_rule 'per-partition lineage + metrics'):
     per target bucket — events in, distinct keys, hottest-key event
@@ -257,6 +321,7 @@ def replay(
     salted_lww: bool = False,
     collect_metrics: bool = True,
     with_change_log: bool = True,
+    with_rollup: bool = False,
     persist_source: bool = False,
 ) -> list[dict[str, Any]]:
     """Batch-mode replay of a whole feed, honoring its ``batch`` column
@@ -276,6 +341,7 @@ def replay(
                     salted_lww=salted_lww,
                     collect_metrics=collect_metrics,
                     with_change_log=with_change_log,
+                    with_rollup=with_rollup,
                     persist_source=persist_source,
                 )
             )
@@ -288,6 +354,7 @@ def replay(
                 salted_lww=salted_lww,
                 collect_metrics=collect_metrics,
                 with_change_log=with_change_log,
+                with_rollup=with_rollup,
                 persist_source=persist_source,
             )
         )

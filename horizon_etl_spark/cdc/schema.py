@@ -76,6 +76,14 @@ METRICS_SCHEMA = StructType(
     ]
 )
 
+ROLLUP_SCHEMA = StructType(
+    [
+        StructField("source", StringType(), True),
+        StructField("n_docs", LongType(), True),
+        StructField("total_tokens", LongType(), True),
+    ]
+)
+
 CHANGE_LOG_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), True),

@@ -31,16 +31,23 @@ def run_stream(
     available_now: bool = True,
     salted_lww: bool = False,
     collect_metrics: bool = True,
+    with_rollup: bool = False,
+    persist_source: bool = False,
+    feed_format: str = "parquet",
 ):
-    """Start (and by default drain) a file-source stream over parquet
-    change-event files dropped into ``input_dir``.
+    """Start (and by default drain) a file-source stream over change-event
+    files dropped into ``input_dir`` (``feed_format``: parquet for
+    columnar feeds, json for Debezium/WAL-style text tails).
 
     Returns the StreamingQuery (already awaited when available_now).
     """
     reader = spark.readStream.schema(CHANGE_FEED_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    feed = reader.parquet(input_dir)
+    if feed_format == "json":
+        feed = reader.json(input_dir)
+    else:
+        feed = reader.parquet(input_dir)
 
     def _apply(df, batch_id: int):
         apply_batch(
@@ -49,6 +56,8 @@ def run_stream(
             batch_id=batch_id,
             salted_lww=salted_lww,
             collect_metrics=collect_metrics,
+            with_rollup=with_rollup,
+            persist_source=persist_source,
         )
 
     writer = (

@@ -60,3 +60,38 @@ def test_stream_restart_from_checkpoint(spark, tmp_table_dir):
     # no batch processed twice: applied totals equal a fresh replay's
     runs = pipe.runs.read(spark)
     assert runs.filter(F.col("status") != "success").count() == 0
+
+
+def test_stream_json_tail_with_rollup(spark, tmp_table_dir):
+    """Debezium/WAL-style JSON text tail (feed_format=json) with
+    persist_source caching and incremental rollup maintenance."""
+    feed = change_feed(spark, 3000, 150, seed=11, num_batches=3, min_len=4, max_len=32)
+    src = os.path.join(tmp_table_dir, "feed")
+    for b in sorted(r[0] for r in feed.select("batch").distinct().collect()):
+        feed.filter(F.col("batch") == b).drop("batch").coalesce(1).write.mode(
+            "append"
+        ).option("compression", "gzip").json(src)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream(
+        spark,
+        pipe,
+        src,
+        os.path.join(tmp_table_dir, "ckpt"),
+        max_files_per_trigger=1,
+        feed_format="json",
+        persist_source=True,
+        with_rollup=True,
+    )
+    # ts survives the JSON round-trip as a column but values may lose
+    # precision; the payload-equality invariant is over the target cols
+    final = pipe.target.read(spark)
+    oracle = expected_final(feed)
+    assert_frames_equal(final, oracle)
+    # rollup agrees with a full recompute from the final state
+    actual = pipe.rollup.read(spark)
+    expected = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    )
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0

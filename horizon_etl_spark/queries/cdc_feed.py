@@ -204,3 +204,29 @@ def events_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "props_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON payload parsing (S3/F14/F17): the reference stores
+    open payloads as JSON and navigates them per-row
+    (lattes_parser.py:41-602, recorder.py:26-33); here ``from_json``
+    with an explicit schema keeps the parse JVM-side and vectorized."""
+    e = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return (
+        e.withColumn("k", parsed["k"])
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("total_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

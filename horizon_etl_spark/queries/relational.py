@@ -523,3 +523,33 @@ def multi_format_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select("o_orderkey", ds.alias("ds")).select(
         "o_orderkey", parsed.alias("parsed")
     )
+
+
+@register(
+    "supplier_pair_degree",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b
+      FROM supplier a
+      JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT supp, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT supp_a AS supp FROM pairs UNION ALL SELECT supp_b AS supp FROM pairs)
+    GROUP BY supp
+    """,
+)
+def supplier_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph degree from generated edges (A9/J8): node degree over the
+    co-membership pair list (people_collaboration_graph_generator.py:90-94)."""
+    s = table(spark, sf_dir, "supplier")
+    a = s.alias("a")
+    b = s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+    ).select(F.col("a.s_suppkey").alias("supp_a"), F.col("b.s_suppkey").alias("supp_b"))
+    ends = pairs.select(F.col("supp_a").alias("supp")).unionByName(
+        pairs.select(F.col("supp_b").alias("supp"))
+    )
+    return ends.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))

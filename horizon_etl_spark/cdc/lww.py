@@ -27,6 +27,15 @@ key).  Both are tested equivalent; bench.py measures both.
 A window (`row_number() over (partition by key order by lsn desc)`)
 would sort every partition and ship *all* rows of a hot key to one
 reducer — strictly worse at scale; kept only as an oracle in tests.
+
+Physical note: ``max_by(struct(payload), lsn)`` compiles to partial+
+final SortAggregate (struct agg buffers aren't hash-agg eligible).
+Measured against the hash-agg alternative — ``groupBy(key).agg(
+max(lsn))`` on pruned columns + semi-join back for the payload — the
+sort-agg wins (1.7s vs 3.4s on a 2M-event, ~1KB-payload feed,
+local[8]): the join-back reads and shuffles the payload twice, which
+costs more than the per-partition sort.  Partial aggregation still
+collapses every key map-side, so the skew property is identical.
 """
 
 from __future__ import annotations

@@ -46,6 +46,33 @@ def run_stream(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if feed_format == "json":
         feed = reader.json(input_dir)
+    elif feed_format == "csv":
+        # flat-file drops (reference S1 Excel/CSV ingest,
+        # project_loader.py:79-93); tokens arrive as a text field
+        # "1 2 3" and are decoded to array<int> JVM-side
+        raw = (
+            spark.readStream.schema(
+                "op string, doc_id string, lsn long, tokens_txt string, "
+                "n_tok int, source string, ts timestamp"
+            )
+            .option("header", "false")
+        )
+        if max_files_per_trigger is not None:
+            raw = raw.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        from pyspark.sql import functions as F
+
+        feed = (
+            raw.csv(input_dir)
+            .withColumn(
+                "tokens",
+                F.when(
+                    F.col("tokens_txt").isNotNull() & (F.length("tokens_txt") > 0),
+                    F.transform(F.split("tokens_txt", " "), lambda x: x.cast("int")),
+                ),
+            )
+            .drop("tokens_txt")
+            .select("op", "doc_id", "lsn", "tokens", "n_tok", "source", "ts")
+        )
     else:
         feed = reader.parquet(input_dir)
 

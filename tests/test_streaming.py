@@ -95,3 +95,24 @@ def test_stream_json_tail_with_rollup(spark, tmp_table_dir):
     )
     assert actual.exceptAll(expected).count() == 0
     assert expected.exceptAll(actual).count() == 0
+
+
+def test_stream_csv_flat_file_drops(spark, tmp_table_dir):
+    """CSV flat-file drops (S1 analogue: the reference's Excel ingest,
+    project_loader.py:79-93) — tokens as space-joined text, decoded
+    JVM-side."""
+    feed = change_feed(spark, 2000, 100, seed=13, num_batches=2, min_len=2, max_len=8)
+    src = os.path.join(tmp_table_dir, "feed")
+    csv_feed = feed.withColumn(
+        "tokens_txt", F.array_join("tokens", " ")
+    ).select("op", "doc_id", "lsn", "tokens_txt", "n_tok", "source", "ts", "batch")
+    for b in [0, 1]:
+        csv_feed.filter(F.col("batch") == b).drop("batch").coalesce(1).write.mode(
+            "append"
+        ).csv(src)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream(
+        spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"),
+        max_files_per_trigger=1, feed_format="csv",
+    )
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))

@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from horizon_etl_spark.cdc import schema as S
 from horizon_etl_spark.cdc.lww import lww_reduce, lww_reduce_salted
-from horizon_etl_spark.cdc.validate import split_valid
 from horizon_etl_spark.tables.lake import LakeTable
 
 
@@ -117,17 +116,16 @@ def apply_batch(
     if "batch" in batch.columns:
         batch = batch.drop("batch")
 
-    # Bandwidth-lean plan: exactly TWO full passes over the raw batch,
-    # no whole-batch caching (each cache round-trip costs a read+write
-    # of the full payload — measurable at 100 TB and on any
-    # bandwidth-bound node):
+    # Bandwidth-lean plan: exactly TWO full passes over the raw batch
+    # (whole-batch caching only when the decode is the dominant cost,
+    # see ``persist_source``):
     #   pass 1: quarantine write; input/valid counts ride the same job
     #           via an Observation (no separate count pass)
-    #   pass 2: LWW reduction (partial+final hash agg) materialized
-    #           into the persisted `winners` (≤1 small row per key);
-    #           per-key event counts for the skew metrics ride the
-    #           same shuffle (`with_counts`)
-    # Everything downstream (metrics, MERGE, stats) reads only
+    #   pass 2: LWW reduction (partial+final agg) materialized into the
+    #           persisted `winners` (≤1 small row per key); per-key
+    #           event counts for the skew metrics ride the same shuffle
+    #           (`with_counts`)
+    # Everything downstream (metrics, MERGE, rollup, stats) reads only
     # `winners` / the target — never the raw feed again.
     obs = Observation(f"apply_batch_{batch_id}")
     reason = _reason()

@@ -553,3 +553,95 @@ def supplier_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("supp_b").alias("supp"))
     )
     return ends.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))
+
+
+# ------------------------------------------------------------------ A2/F1/F2
+@register(
+    "normalized_name_groups",
+    oracle="""
+    SELECT trim(regexp_replace(lower(strip_accents(c_name)), '[^a-z0-9]+', ' ', 'g')) AS norm_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS canonical_id
+    FROM customer GROUP BY 1
+    """,
+)
+def normalized_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-name grouping (A2) with exact-parity unicode
+    normalization (F1/F2: NFD → strip combining marks → lower →
+    non-alnum collapse, initiative_identity.py:6-13,
+    person_matcher.py:74-116) as a VECTORIZED pandas UDF — the
+    sanctioned Python path (Arrow-batched, never per-row)."""
+    import pandas as pd
+    import unicodedata
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    # note: no type annotations — `from __future__ import annotations`
+    # stringifies them and pandas_udf can't resolve the local alias
+    @pandas_udf("string")
+    def normalize(s):
+        def norm(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize("NFD", x)
+            x = "".join(ch for ch in x if not unicodedata.combining(ch))
+            return re.sub(r"[^a-z0-9]+", " ", x.lower()).strip()
+
+        return s.map(norm)
+
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.withColumn("norm_name", normalize(F.col("c_name")))
+        .groupBy("norm_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_custkey").cast("long").alias("canonical_id"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ J9
+@register(
+    "dominant_nation_per_part",
+    oracle="""
+    SELECT p_partkey, n_name AS dominant_nation, CAST(weight AS BIGINT) AS weight
+    FROM (
+      SELECT l.l_partkey AS p_partkey, n.n_name, COUNT(*) AS weight,
+             row_number() OVER (PARTITION BY l.l_partkey
+                                ORDER BY COUNT(*) DESC, n.n_name ASC, n.n_nationkey ASC) AS rn
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY l.l_partkey, n.n_name, n.n_nationkey
+    ) WHERE rn = 1
+    """,
+)
+def dominant_nation_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop weighted join + per-key weighted mode (J9/A7):
+    export_campus_resolver.py:52-158, 211-228 — propagate COUNT weights
+    across a join chain, then argmax with name-then-id tiebreak."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    weighted = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "n_name", "n_nationkey")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("weight"), F.asc("n_name"), F.asc("n_nationkey")
+    )
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("n_name").alias("dominant_nation"),
+            F.col("weight").cast("long").alias("weight"),
+        )
+    )

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 from dataclasses import dataclass
 from typing import Any
@@ -596,6 +597,63 @@ class LakeTable:
             },
         )
         return version
+
+    def vacuum(self, keep_versions: int = 2) -> dict[str, int]:
+        """Expire old snapshots and physically delete data files no
+        retained snapshot references — the Iceberg
+        expire_snapshots/remove_orphan_files analogue.  Keeps the last
+        ``keep_versions`` snapshots (bounding time travel); never
+        touches files any retained snapshot references.
+
+        Safe relative to readers of retained versions only; like any
+        lakehouse vacuum, concurrent readers of expired versions fail
+        afterwards."""
+        assert keep_versions >= 1
+        versions = sorted(
+            int(fn[1:-5])
+            for fn in os.listdir(self._snap_dir)
+            if fn.startswith("v") and fn.endswith(".json")
+        )
+        retained = versions[-keep_versions:]
+        expired = versions[: -keep_versions]
+        referenced: set[str] = set()
+        for v in retained:
+            referenced |= {f["path"] for f in self.snapshot(v)["files"]}
+
+        removed_snapshots = 0
+        for v in expired:
+            os.unlink(self._snap_path(v))
+            removed_snapshots += 1
+
+        removed_files = 0
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for commit in sorted(os.listdir(data_root)):
+                cdir = os.path.join(data_root, commit)
+                refs_in_dir = False
+                unref: list[str] = []
+                for dirpath, _dirs, files in os.walk(cdir):
+                    for fn in files:
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, self.path)
+                        if rel in referenced:
+                            refs_in_dir = True
+                        elif fn.endswith(".parquet"):
+                            unref.append(full)
+                if not refs_in_dir:
+                    removed_files += sum(
+                        len(files) for _p, _d, files in os.walk(cdir)
+                    )
+                    shutil.rmtree(cdir)
+                else:
+                    for full in unref:
+                        os.unlink(full)
+                        removed_files += 1
+        return {
+            "removed_snapshots": removed_snapshots,
+            "removed_files": removed_files,
+            "retained_versions": retained,
+        }
 
     def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> int:
         """Rewrite the table into one file-set per bucket; optionally GC

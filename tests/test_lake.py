@@ -137,3 +137,41 @@ def test_append_table(spark, tmp_table_dir):
     t.append(spark.createDataFrame([("x", 1)], "k string, v int"))
     t.append(spark.createDataFrame([("y", 2)], "k string, v int"))
     assert t.read(spark).count() == 2
+
+
+def test_vacuum_expires_snapshots_and_orphans(spark, tmp_table_dir):
+    import os
+    import pytest
+    from pyspark.sql import functions as F
+
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4
+    )
+    for lsn in range(4):
+        batch = spark.createDataFrame(
+            [("update", f"d{i}", lsn, [lsn, i], 2, "wiki") for i in range(6)],
+            "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string",
+        )
+        t.merge(batch)
+    before = t.read(spark).count()
+    v = t.current_version()
+    stats = t.vacuum(keep_versions=2)
+    assert stats["removed_snapshots"] >= 2
+    assert stats["removed_files"] > 0
+    # current + previous version still readable, identical data
+    assert t.read(spark).count() == before
+    assert t.read(spark, version=v - 1).count() == before
+    # expired versions are gone
+    with pytest.raises(Exception):
+        t.snapshot(0)
+    # retained files all still exist on disk
+    for f in t.snapshot()["files"]:
+        assert os.path.exists(os.path.join(t.path, f["path"]))
+    # a further merge after vacuum works
+    t.merge(
+        spark.createDataFrame(
+            [("update", "d0", 99, [9, 9], 2, "wiki")],
+            "op string, doc_id string, lsn long, tokens array<int>, n_tok int, source string",
+        )
+    )
+    assert t.read(spark).filter(F.col("doc_id") == "d0").first()["tokens"] == [9, 9]

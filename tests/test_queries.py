@@ -94,3 +94,17 @@ def test_entry_contract(spark):
     qs, os_ = m.queries(), m.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 30
+
+
+def test_minhash_short_doc_guard(spark):
+    """Docs with <3 words produce no shingles (sequence(1, n<1) would
+    generate a DESCENDING range — guarded explicitly)."""
+    from horizon_etl_spark.queries.text import minhash_signatures
+
+    d = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d"), (3, "")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(d)
+    ids = {r["doc_id"] for r in sigs.collect()}
+    assert ids == {2}
+    assert len(sigs.first()["sig"]) == 16

@@ -91,11 +91,14 @@ def _now():
     return datetime.now(timezone.utc).replace(tzinfo=None)
 
 
+HOT_KEY_SHARE_THRESHOLD = 0.05  # hottest key > 5% of batch events → salt
+
+
 def apply_batch(
     pipe: CdcPipeline,
     batch: DataFrame,
     batch_id: int,
-    salted_lww: bool = False,
+    salted_lww: bool | str = False,
     salt_buckets: int = 32,
     collect_metrics: bool = True,
     with_change_log: bool = True,
@@ -103,6 +106,14 @@ def apply_batch(
     persist_source: bool = False,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events; returns the run stats row.
+
+    ``salted_lww``: False (plain max_by — partial agg is already the
+    skew mitigation), True (explicit two-phase salted reduction), or
+    ``"auto"`` — consult the PREVIOUS batch's skew metrics (hottest-key
+    event share, which ride the LWW shuffle for free) and salt when it
+    exceeded ``HOT_KEY_SHARE_THRESHOLD``; change feeds have temporal
+    locality, so last batch's skew is the best available predictor
+    (requires ``collect_metrics``; first batch runs plain).
 
     ``persist_source``: cache the decoded+validated batch between the
     quarantine pass and the LWW pass.  Off for cheap columnar feeds
@@ -157,6 +168,8 @@ def apply_batch(
             valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
         else:
             valid = batch.filter(reason.isNull())
+        if salted_lww == "auto":
+            salted_lww = _last_batch_was_skewed(pipe, spark)
         reducer = lww_reduce_salted if salted_lww else lww_reduce
         kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
         winners = reducer(
@@ -206,7 +219,7 @@ def apply_batch(
             "notes": (
                 f"v{stats['version']} ins={stats['inserted']} upd={stats['updated']} "
                 f"del={stats['deleted']} rewrote={stats['rewritten_files']} "
-                f"carried={stats['carried_files']}"
+                f"carried={stats['carried_files']} salted={bool(salted_lww)}"
             ),
         }
         pipe.runs.append(
@@ -243,6 +256,30 @@ def _reason():
     from horizon_etl_spark.cdc.validate import reason_column
 
     return reason_column()
+
+
+def _last_batch_was_skewed(pipe: CdcPipeline, spark: SparkSession) -> bool:
+    """Adaptive-salting predicate: was the hottest key of the most
+    recent batch above ``HOT_KEY_SHARE_THRESHOLD`` of its events?
+    Reads only the tiny metrics table; no metrics yet → not skewed."""
+    try:
+        m = pipe.metrics.read(spark)
+        last = m.agg(F.max("batch_id").alias("b")).collect()[0]["b"]
+        if last is None:
+            return False
+        row = (
+            m.filter(F.col("batch_id") == last)
+            .agg(
+                F.max("max_key_rows").alias("hot"),
+                F.sum("rows_in").alias("total"),
+            )
+            .collect()[0]
+        )
+        if not row["total"]:
+            return False
+        return (row["hot"] or 0) / row["total"] > HOT_KEY_SHARE_THRESHOLD
+    except Exception:
+        return False
 
 
 def _maintain_rollup(pipe: CdcPipeline, changes: DataFrame) -> None:

@@ -66,3 +66,36 @@ def test_lww_collapses_duplicates(spark):
     a = lww_reduce(feed.drop("batch", "ts"))
     b = lww_reduce(doubled.drop("batch", "ts"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_auto_salting_reacts_to_skew(spark, tmp_path):
+    """salted_lww='auto': batch 0 runs plain (no metrics yet); after a
+    heavily skewed batch, the next batch salts; after a uniform batch,
+    it returns to plain."""
+    from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+
+    pipe = CdcPipeline.create(str(tmp_path / "p"), bucket_count=4)
+    hot = change_feed(spark, 3000, 50, seed=3, zipf_s=2.0, num_batches=1,
+                      min_len=2, max_len=8, dup_frac=0.0)
+    # truly uniform: every event its own key (hot share = 1/N)
+    uniform = (
+        spark.range(0, 3000)
+        .select(
+            F.lit("update").alias("op"),
+            F.concat(F.lit("u"), F.col("id")).alias("doc_id"),
+            F.col("id").alias("lsn"),
+            F.array(F.lit(1), F.lit(2)).alias("tokens"),
+            F.lit(2).cast("int").alias("n_tok"),
+            F.lit("wiki").alias("source"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+
+    r0 = apply_batch(pipe, hot, batch_id=0, salted_lww="auto")
+    assert "salted=False" in r0["notes"]  # no metrics before the first batch
+    r1 = apply_batch(pipe, uniform.withColumn("lsn", F.col("lsn") + 10_000),
+                     batch_id=1, salted_lww="auto")
+    assert "salted=True" in r1["notes"]  # previous batch was skewed
+    r2 = apply_batch(pipe, hot.withColumn("lsn", F.col("lsn") + 20_000),
+                     batch_id=2, salted_lww="auto")
+    assert "salted=False" in r2["notes"]  # previous batch was uniform

@@ -175,3 +175,28 @@ def test_vacuum_expires_snapshots_and_orphans(spark, tmp_table_dir):
         )
     )
     assert t.read(spark).filter(F.col("doc_id") == "d0").first()["tokens"] == [9, 9]
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
+    """Optimistic concurrency: every operation re-reads the latest
+    snapshot (sequential writers serialize), so a conflict only exists
+    when two writers race the SAME version — the create-exclusive
+    hard-link commit must fail loudly for the loser, never silently
+    overwrite."""
+    import os
+
+    path = os.path.join(tmp_table_dir, "t")
+    t1 = LakeTable.create(path, SCHEMA, key_col="doc_id", bucket_count=4)
+    t2 = LakeTable.load(path)
+    b = batch_df(spark, [("update", "d1", 1, [1, 2], "wiki")])
+    t1.merge(b)
+    # sequential writers serialize fine: t2 re-reads the new snapshot
+    t2.merge(batch_df(spark, [("update", "d2", 2, [3], "wiki")]))
+    assert {r["doc_id"] for r in t1.read(spark).collect()} == {"d1", "d2"}
+
+    # a simultaneous race on the same target version: loser must error
+    snap = t1.snapshot()
+    v = snap["version"] + 1
+    t1._commit(v, {**snap, "version": v, "parent": snap["version"]})
+    with pytest.raises(FileExistsError):
+        t2._commit(v, {**snap, "version": v, "parent": snap["version"]})

@@ -97,33 +97,45 @@ def knn_lsh(
     (tests/test_ann_quality.py)."""
     e = with_norm(table(spark, sf_dir, "embeddings"))
     dim = len(e.select("_v").first()["_v"])
-    tables = []
-    for t in range(num_tables):
-        planes = [
-            F.array(
-                *[
-                    (
-                        (
-                            F.pmod(
-                                F.xxhash64(F.lit(t * 1000 + p), F.lit(d)),
-                                F.lit(2_000_001),
-                            )
-                            - F.lit(1_000_000)
-                        )
-                        / F.lit(1_000_000.0)
-                    )
-                    for d in range(dim)
-                ]
-            )
-            for p in range(planes_per_table)
+
+    # all L×k hyperplane projections in one Arrow-batched numpy matmul
+    # (the literal-expression formulation built L·k·dim expression
+    # nodes and fell out of codegen — ~20× slower)
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    planes = (
+        np.random.RandomState(42)
+        .standard_normal((num_tables * planes_per_table, dim))
+        .astype("float64")
+    )
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vs):
+        import pandas as pd
+
+        mat = np.vstack(vs.map(lambda v: np.asarray(v, dtype="float64")))
+        signs = (mat @ planes.T) >= 0  # (n, L*k)
+        weights = 1 << np.arange(planes_per_table)
+        out = [
+            [
+                int(signs[i, t * planes_per_table : (t + 1) * planes_per_table] @ weights)
+                for t in range(num_tables)
+            ]
+            for i in range(signs.shape[0])
         ]
-        bucket = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            bucket = bucket + F.when(_dot(F.col("_v"), p) >= 0, F.lit(1 << i)).otherwise(0)
-        tables.append(F.struct(F.lit(t).alias("table_id"), bucket.alias("bucket")))
-    b = e.select(
-        "vec_id", "_v", "_norm", F.explode(F.array(*tables)).alias("h")
-    ).select("vec_id", "_v", "_norm", "h.table_id", "h.bucket")
+        return pd.Series(out)
+
+    b = (
+        e.withColumn("_buckets", bucket_ids(F.col("_v")))
+        .select(
+            "vec_id",
+            "_v",
+            "_norm",
+            F.posexplode("_buckets").alias("table_id", "bucket"),
+        )
+    )
     q = b.select(
         F.col("vec_id").alias("qid"),
         F.col("_v").alias("qv"),

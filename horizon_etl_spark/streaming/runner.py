@@ -29,19 +29,29 @@ def run_stream(
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
-    salted_lww: bool = False,
+    salted_lww: bool | str = False,
     collect_metrics: bool = True,
     with_rollup: bool = False,
     persist_source: bool = False,
     feed_format: str = "parquet",
+    feed_schema=None,
 ):
     """Start (and by default drain) a file-source stream over change-event
     files dropped into ``input_dir`` (``feed_format``: parquet for
     columnar feeds, json for Debezium/WAL-style text tails).
 
+    ``feed_schema`` overrides the reader schema — a file-source stream
+    cannot discover new payload columns mid-stream, so additive schema
+    evolution on a LIVE tail is an operational handoff: the producer
+    registers the evolved schema (schema-registry style), the stream is
+    restarted from its checkpoint with the new schema, and the apply
+    kernel's merge evolves the target table on first contact.  Events
+    read before the restart keep the old shape (their new columns were
+    never decoded) — same contract as any Spark streaming source.
+
     Returns the StreamingQuery (already awaited when available_now).
     """
-    reader = spark.readStream.schema(CHANGE_FEED_SCHEMA)
+    reader = spark.readStream.schema(feed_schema or CHANGE_FEED_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if feed_format == "json":

@@ -37,3 +37,48 @@ def test_evolution_preserves_old_rows_without_rewrite(spark, tmp_table_dir):
     runs = replay(pipe, feed)
     assert len(runs) == 2
     assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+
+
+def test_chaos_evolution_restart_out_of_order_stream(spark, tmp_table_dir):
+    """Everything at once: streamed file drops arriving OUT OF ORDER
+    (newest lsn-range file first), schema evolution mid-stream (the
+    lang column appears only in later-lsn events), a checkpoint restart
+    between drops, and a duplicate re-drop of an already-processed
+    file.  Final state must still equal the whole-feed oracle."""
+    from horizon_etl_spark.streaming.runner import run_stream
+
+    feed = evolved_feed(spark, 3000, 150, num_batches=3)
+    src = os.path.join(tmp_table_dir, "feed")
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+
+    def drop(df):
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # the evolved (v2) feed schema is registered up front — a live
+    # tail cannot discover new columns mid-stream (see run_stream doc)
+    v2_schema = feed.drop("batch").schema
+    b = {i: feed.filter(F.col("batch") == i).drop("batch") for i in range(3)}
+    # newest events first (evolved column present before older events),
+    # older pre-evolution events arrive later
+    drop(b[2].select(*b[2].columns))
+    run_stream(spark, pipe, src, ckpt, max_files_per_trigger=1, feed_schema=v2_schema)
+    assert "lang" in pipe.target.read(spark).columns
+
+    # restart with the same checkpoint: drop the OLD events + a
+    # duplicate re-drop of the newest file's content
+    drop(b[0])
+    drop(b[1])
+    drop(b[2])
+    run_stream(spark, pipe, src, ckpt, max_files_per_trigger=1, feed_schema=v2_schema)
+
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+    # counts reconcile across all micro-batches
+    runs = pipe.runs.read(spark).collect()
+    total_in = sum(r["input_rows"] for r in runs)
+    total_accounted = sum(
+        r["applied"] + r["deduped"] + r["quarantined"]
+        + r["skipped_stale"] + r["delete_noop"]
+        for r in runs
+    )
+    assert total_in == total_accounted

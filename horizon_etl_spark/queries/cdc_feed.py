@@ -15,8 +15,6 @@ expression.
 
 from __future__ import annotations
 
-import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -75,7 +73,7 @@ def events_as_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM valid
     )
     SELECT doc_id,
-           [CAST(floor(value*100) AS INT), CAST(lsn % 997 AS INT)] AS tokens,
+           array_to_string([CAST(floor(value*100) AS INT), CAST(lsn % 997 AS INT)], ',') AS tokens_csv,
            CAST(2 AS INT) AS n_tok,
            source
     FROM w WHERE rn = 1 AND op <> 'delete'
@@ -86,20 +84,19 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lsn range, each validated/quarantined/deduped/LWW-reduced and
     MERGEd; returns the final target state.  The oracle is the pure
     window query — replay through the engine must equal it bit-for-bit
-    (token-array-equality invariant)."""
+    (token-array-equality invariant).
+
+    The token array is emitted as a canonical CSV string (``tokens_csv``)
+    on both sides: the driver's canonicalizer sorts rows via pandas and
+    cannot hash raw list cells."""
     from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
 
     feed = events_as_feed(spark, sf_dir)
     lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    # stable scratch location (fresh per call) so the returned DataFrame
-    # stays lazily readable by the caller — no driver-side collect.
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "horizon_etl_spark_queries",
-        f"cdc_apply_events_{abs(hash(sf_dir)) % 10**8}",
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
+    # unique per-invocation scratch dir: a fixed path rmtree'd on entry
+    # would break the lazily-readable DataFrame returned by a previous
+    # call (and abs(hash(...)) is per-process randomized anyway).
+    root = tempfile.mkdtemp(prefix="cdc_apply_events_")
     pipe = CdcPipeline.create(root, bucket_count=8)
     span = max(1, (int(hi) - int(lo) + 3) // 3)  # ceil(n/3)
     for b in range(3):
@@ -107,7 +104,12 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lsn") >= int(lo) + b * span) & (F.col("lsn") < int(lo) + (b + 1) * span)
         )
         apply_batch(pipe, batch, batch_id=b, collect_metrics=False, with_change_log=False)
-    return pipe.target.read(spark).select("doc_id", "tokens", "n_tok", "source")
+    return pipe.target.read(spark).select(
+        "doc_id",
+        F.concat_ws(",", F.col("tokens")).alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
 
 
 @register(
@@ -116,7 +118,7 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(user_id AS BIGINT) AS user_id,
            CAST(last_event_id AS BIGINT) AS last_event_id,
            last_type,
-           CAST(last_value AS DECIMAL(18,2)) AS last_value
+           CAST(CAST(last_value AS DECIMAL(18,2)) * 100 AS BIGINT) AS last_value
     FROM (
       SELECT user_id, event_id AS last_event_id, event_type AS last_type, value AS last_value,
              row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -137,7 +139,7 @@ def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("w.event_id").cast("long").alias("last_event_id"),
             F.col("w.event_type").alias("last_type"),
-            F.col("w.value").cast("decimal(18,2)").alias("last_value"),
+            (F.col("w.value").cast("decimal(18,2)") * 100).cast("long").alias("last_value"),
         )
     )
 
@@ -169,7 +171,7 @@ def first_last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -179,7 +181,7 @@ def event_type_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("total_value"),
     )
 
 

@@ -20,15 +20,27 @@ def _dec(c: str, t: str = "decimal(18,2)") -> F.Column:
     return F.col(c).cast(t)
 
 
+def _cents(col: F.Column, scale: int = 2) -> F.Column:
+    """Exact decimal aggregate → BIGINT in 10^-scale units.
+
+    Money/quantity outputs are emitted as integer cents (scale=2) or
+    ten-thousandths (scale=4), never as DECIMAL: arithmetic stays exact
+    decimal internally, but the *output representation* is a plain
+    BIGINT that hashes identically across engines (Spark Decimal and
+    DuckDB DECIMAL stringify differently in the driver's canonicalizer).
+    """
+    return (col * F.lit(10**scale)).cast("long")
+
+
 # ---------------------------------------------------------------- A4/P1
 @register(
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS sum_base_price,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS sum_disc_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_quantity < 30
@@ -43,10 +55,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_quantity") < 30)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("decimal(38,4)")
+            _cents(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _cents(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _cents(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 4)
             .alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -59,7 +70,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r.r_name,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -85,8 +96,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("decimal(38,4)")
+            _cents(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 4)
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
@@ -100,7 +110,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o.o_orderkey,
            CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS BIGINT) AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -123,8 +133,7 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("decimal(38,4)")
+            _cents(F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))), 4)
             .alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -198,7 +207,7 @@ def ordered_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_revenue",
     oracle="""
     SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS gross,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS gross,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -214,7 +223,7 @@ def brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,2)").alias("gross"),
+            _cents(F.sum(_dec("l_extendedprice"))).alias("gross"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -341,7 +350,7 @@ def orders_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_customer_per_nation",
     oracle="""
-    SELECT n_name, c_name, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    SELECT n_name, c_name, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal
     FROM (
       SELECT n.n_name, c.c_name, c.c_acctbal,
              row_number() OVER (PARTITION BY n.n_nationkey
@@ -362,7 +371,7 @@ def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("n_name", "c_name", _dec("c_acctbal").alias("acctbal"))
+        .select("n_name", "c_name", _cents(_dec("c_acctbal")).alias("acctbal"))
     )
 
 
@@ -431,7 +440,7 @@ def nations_without_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "top_parts_by_quantity",
     oracle="""
-    SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_qty
     FROM lineitem GROUP BY l_partkey
     ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
     """,
@@ -441,7 +450,7 @@ def top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_partkey")
-        .agg(F.sum(_dec("l_quantity")).cast("decimal(38,2)").alias("total_qty"))
+        .agg(_cents(F.sum(_dec("l_quantity"))).alias("total_qty"))
         .orderBy(F.desc("total_qty"), F.asc("l_partkey"))
         .limit(10)
     )
@@ -476,7 +485,7 @@ def order_status_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            'LGPD-' || substring(sha256(c_name || '|pepper'), 1, 16) AS scrubbed_name,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal
     FROM customer
     """,
 )
@@ -491,7 +500,7 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("LGPD-"),
             F.substring(F.sha2(F.concat(F.col("c_name"), F.lit("|pepper")), 256), 1, 16),
         ).alias("scrubbed_name"),
-        _dec("c_acctbal").alias("acctbal"),
+        _cents(_dec("c_acctbal")).alias("acctbal"),
     )
 
 

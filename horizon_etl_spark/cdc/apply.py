@@ -179,6 +179,7 @@ def apply_batch(
         if collect_metrics:
             _write_bucket_metrics(pipe, winners, batch_id)
 
+        pre_merge_version = pipe.target.current_version() if with_rollup else None
         stats = pipe.target.merge(
             winners.drop("_key_events"),
             op_col="op",
@@ -197,7 +198,9 @@ def apply_batch(
             # the lazy change-image frame recomputes from the pre-merge
             # snapshot + still-cached winners — O(batch), unlike a scan
             # of the ever-growing change_log table
-            _maintain_rollup(pipe, stats["change_log"])
+            _maintain_rollup(
+                pipe, stats["change_log"], pre_merge_version, stats["version"]
+            )
         lww_rows = (
             stats["inserted"]
             + stats["updated"]
@@ -282,7 +285,12 @@ def _last_batch_was_skewed(pipe: CdcPipeline, spark: SparkSession) -> bool:
         return False
 
 
-def _maintain_rollup(pipe: CdcPipeline, changes: DataFrame) -> None:
+def _maintain_rollup(
+    pipe: CdcPipeline,
+    changes: DataFrame,
+    pre_merge_version: int | None,
+    post_merge_version: int,
+) -> None:
     """Fold one batch's change images into the per-source rollup table
     (source → n_docs, total_tokens).
 
@@ -293,10 +301,33 @@ def _maintain_rollup(pipe: CdcPipeline, changes: DataFrame) -> None:
     maintenance.  ``skipped_stale``/``delete_noop`` changes contribute
     nothing, so re-delivered batches leave the rollup untouched.
 
+    Exactly-once across the two non-atomic commits (target merge, then
+    rollup overwrite): the rollup snapshot's props record the target
+    version it reflects (``synced_target_version``).  If that doesn't
+    equal the pre-merge target version, the rollup missed one or more
+    committed merges — a crash landed between the two commits, or the
+    rollup was enabled late — and the redelivered batch's change images
+    are all ``skipped_stale`` (zero delta), so incremental folding
+    would lose the gap forever.  Detection → rebuild the rollup from
+    the post-merge target state (O(target), rare) instead of folding.
+
     The rollup's cardinality is |sources| (tiny), so the update is a
     read + union + overwrite; a high-cardinality derived table would
     use a keyed additive MERGE instead (same delta feed)."""
     spark = changes.sparkSession
+    synced = pipe.rollup.props.get("synced_target_version")
+    if synced != pre_merge_version:
+        target = pipe.target.read(spark)
+        rebuilt = target.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("total_tokens"),
+        )
+        pipe.rollup.overwrite(
+            rebuilt,
+            operation="rollup(rebuild)",
+            props={"synced_target_version": post_merge_version},
+        )
+        return
     applied = changes.filter(F.col("op_applied").isin("insert", "update", "delete"))
     before = applied.filter(F.col("before_source").isNotNull()).select(
         F.col("before_source").alias("source"),
@@ -323,7 +354,11 @@ def _maintain_rollup(pipe: CdcPipeline, changes: DataFrame) -> None:
         )
         .filter(F.col("n_docs") > 0)
     )
-    pipe.rollup.overwrite(merged, operation="rollup")
+    pipe.rollup.overwrite(
+        merged,
+        operation="rollup",
+        props={"synced_target_version": post_merge_version},
+    )
 
 
 def _write_bucket_metrics(pipe: CdcPipeline, winners: DataFrame, batch_id: int) -> None:

@@ -66,23 +66,6 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplanes(dim: int, num_planes: int):
-    """Deterministic pseudo-random hyperplanes as JVM expressions:
-    component (p, d) = xxhash64(p, d) mapped to (-1, 1)."""
-    return [
-        F.array(
-            *[
-                (
-                    (F.pmod(F.xxhash64(F.lit(p), F.lit(d)), F.lit(2_000_001)) - F.lit(1_000_000))
-                    / F.lit(1_000_000.0)
-                )
-                for d in range(dim)
-            ]
-        )
-        for p in range(num_planes)
-    ]
-
-
 @register("knn_lsh")  # approximate — no SQL oracle (rows-only check)
 def knn_lsh(
     spark: SparkSession, sf_dir: str, num_tables: int = 8, planes_per_table: int = 4
@@ -96,26 +79,27 @@ def knn_lsh(
     force: ~0.8 at L=8, k=4 on the sf0.001 embeddings
     (tests/test_ann_quality.py)."""
     e = with_norm(table(spark, sf_dir, "embeddings"))
-    dim = len(e.select("_v").first()["_v"])
 
     # all L×k hyperplane projections in one Arrow-batched numpy matmul
     # (the literal-expression formulation built L·k·dim expression
-    # nodes and fell out of codegen — ~20× slower)
+    # nodes and fell out of codegen — ~20× slower).  The plane matrix
+    # is regenerated per batch from a fixed seed and the batch's own
+    # vector width — identical on every executor, and no driver-side
+    # ``.first()`` probe job just to learn the dimension.
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
-
-    planes = (
-        np.random.RandomState(42)
-        .standard_normal((num_tables * planes_per_table, dim))
-        .astype("float64")
-    )
 
     @pandas_udf("array<long>")
     def bucket_ids(vs):
         import pandas as pd
 
         mat = np.vstack(vs.map(lambda v: np.asarray(v, dtype="float64")))
+        planes = (
+            np.random.RandomState(42)
+            .standard_normal((num_tables * planes_per_table, mat.shape[1]))
+            .astype("float64")
+        )
         signs = (mat @ planes.T) >= 0  # (n, L*k)
         weights = 1 << np.arange(planes_per_table)
         out = [
@@ -192,37 +176,58 @@ def ivf_probe(
 ) -> DataFrame:
     """IVF coarse quantize + probe: ``num_cells`` deterministic seed
     vectors (the first vec_ids) act as centroids; every vector is
-    assigned to its nearest seed (one k-means assignment step —
-    broadcast join, one pass); queries probe the ``nprobe`` nearest
-    cells and re-rank exactly within them.  The inverted-list scan is
-    an equi-join on cell id — the standard billion-scale ANN layout
-    (cells ≈ √N, probe a few).  Measured recall@5 vs brute force at
-    sf0.001: ~0.6 with 16 cells / probe 4 (tests/test_ann_quality.py)."""
-    e = with_norm(table(spark, sf_dir, "embeddings"))
-    seeds = e.filter(F.col("vec_id") < num_cells).select(
-        F.col("vec_id").alias("cell"), F.col("_v").alias("cv"), F.col("_norm").alias("cn")
-    )
-    csim = _dot(F.col("_v"), F.col("cv")) / (F.col("_norm") * F.col("cn"))
-    wassign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cell"))
-    assigned = (
-        e.crossJoin(F.broadcast(seeds))
-        .withColumn("csim", csim)
-        .withColumn("arank", F.row_number().over(wassign))
-        .filter(F.col("arank") == 1)
-        .select("vec_id", "_v", "_norm", "cell")
-    )
+    assigned to its nearest seed (one k-means assignment step); queries
+    probe the ``nprobe`` nearest cells and re-rank exactly within them.
+    The inverted-list scan is an equi-join on cell id — the standard
+    billion-scale ANN layout (cells ≈ √N, probe a few).
 
-    q = e.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), F.col("_v").alias("qv"), F.col("_norm").alias("qn")
+    Scale path: the assignment is a single Arrow-batched numpy matmul
+    against the broadcast seed matrix (argsort top-n per row) — no
+    crossJoin row blowup (the previous crossJoin(broadcast(seeds))
+    multiplied the table num_cells× before the argmax window; at
+    cells≈√N that was the scale-killer k-means-assign shape).  The seed
+    matrix is O(num_cells·dim) and ships in the UDF closure, same slot
+    as the LSH hyperplanes; at very large num_cells chunk the matmul
+    over cell blocks inside the same UDF.  Measured recall@5 vs brute
+    force at sf0.001 is gated in tests/test_ann_quality.py."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    e = with_norm(table(spark, sf_dir, "embeddings"))
+    seed_rows = (
+        e.filter(F.col("vec_id") < num_cells)
+        .select("vec_id", "_v", "_norm")
+        .collect()
     )
-    qsim = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    wprobe = Window.partitionBy("qid").orderBy(F.desc("qsim"), F.asc("cell"))
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype="int64")
+    seed_mat = np.vstack([np.asarray(r["_v"], dtype="float64") for r in seed_rows])
+    seed_mat = seed_mat / np.array([[r["_norm"]] for r in seed_rows])
+
+    @pandas_udf("array<long>")
+    def nearest_cells(vs):
+        import pandas as pd
+
+        mat = np.vstack(vs.map(lambda v: np.asarray(v, dtype="float64")))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = (mat / norms) @ seed_mat.T  # (batch, num_cells)
+        # stable sort on -sim: equal-sim ties break by ascending cell id
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([[int(seed_ids[j]) for j in row] for row in order])
+
+    ranked = e.withColumn("_cells", nearest_cells(F.col("_v")))
+    assigned = ranked.select(
+        "vec_id", "_v", "_norm", F.element_at("_cells", 1).alias("cell")
+    )
     probed = (
-        q.crossJoin(F.broadcast(seeds))
-        .withColumn("qsim", qsim)
-        .withColumn("prank", F.row_number().over(wprobe))
-        .filter(F.col("prank") <= nprobe)
-        .select("qid", "qv", "qn", F.col("cell").alias("probe_cell"))
+        ranked.filter(F.col("vec_id") < 50)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("_v").alias("qv"),
+            F.col("_norm").alias("qn"),
+            F.explode("_cells").alias("probe_cell"),
+        )
     )
     c = assigned.select(
         F.col("vec_id").alias("nid"),

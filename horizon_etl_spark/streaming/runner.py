@@ -58,31 +58,45 @@ def run_stream(
         feed = reader.json(input_dir)
     elif feed_format == "csv":
         # flat-file drops (reference S1 Excel/CSV ingest,
-        # project_loader.py:79-93); tokens arrive as a text field
-        # "1 2 3" and are decoded to array<int> JVM-side
-        raw = (
-            spark.readStream.schema(
-                "op string, doc_id string, lsn long, tokens_txt string, "
-                "n_tok int, source string, ts timestamp"
-            )
-            .option("header", "false")
+        # project_loader.py:79-93); array<int> columns arrive as a text
+        # field "1 2 3" and are decoded JVM-side.  The wire schema is
+        # DERIVED from the logical feed schema (feed_schema or the
+        # default), so the schema-evolution restart handoff documented
+        # above works for CSV feeds too: each array<int> column becomes
+        # ``<name>_txt string`` at the same position; other columns keep
+        # their type.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            ArrayType,
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
         )
+
+        logical = feed_schema or CHANGE_FEED_SCHEMA
+        wire_fields, decoded_cols = [], []
+        for fld in logical.fields:
+            if isinstance(fld.dataType, ArrayType) and isinstance(
+                fld.dataType.elementType, IntegerType
+            ):
+                wire_fields.append(StructField(f"{fld.name}_txt", StringType(), True))
+                decoded_cols.append(
+                    F.when(
+                        F.col(f"{fld.name}_txt").isNotNull()
+                        & (F.length(f"{fld.name}_txt") > 0),
+                        F.transform(
+                            F.split(f"{fld.name}_txt", " "), lambda x: x.cast("int")
+                        ),
+                    ).alias(fld.name)
+                )
+            else:
+                wire_fields.append(fld)
+                decoded_cols.append(F.col(fld.name))
+        raw = spark.readStream.schema(StructType(wire_fields)).option("header", "false")
         if max_files_per_trigger is not None:
             raw = raw.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        from pyspark.sql import functions as F
-
-        feed = (
-            raw.csv(input_dir)
-            .withColumn(
-                "tokens",
-                F.when(
-                    F.col("tokens_txt").isNotNull() & (F.length("tokens_txt") > 0),
-                    F.transform(F.split("tokens_txt", " "), lambda x: x.cast("int")),
-                ),
-            )
-            .drop("tokens_txt")
-            .select("op", "doc_id", "lsn", "tokens", "n_tok", "source", "ts")
-        )
+        feed = raw.csv(input_dir).select(*decoded_cols)
     else:
         feed = reader.parquet(input_dir)
 

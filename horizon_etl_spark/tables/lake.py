@@ -573,8 +573,18 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------ overwrite
-    def overwrite(self, df: DataFrame, operation: str = "overwrite") -> int:
-        """Replace all data (used by compaction and bulk loads)."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        operation: str = "overwrite",
+        props: dict[str, Any] | None = None,
+    ) -> int:
+        """Replace all data (used by compaction and bulk loads).
+
+        ``props`` entries are merged into the snapshot's props — e.g.
+        derived tables record the source-table version they reflect, so
+        a crash between source commit and derived commit is detectable.
+        """
         snap = self.snapshot()
         version = snap["version"] + 1
         schema = StructType.fromJson(snap["schema"])
@@ -592,23 +602,42 @@ class LakeTable:
                 "version": version,
                 "parent": snap["version"],
                 "files": [f.to_json() for f in new_files],
+                "props": {**snap.get("props", {}), **(props or {})},
                 "operation": operation,
                 "summary": {},
             },
         )
         return version
 
-    def vacuum(self, keep_versions: int = 2) -> dict[str, int]:
+    @property
+    def props(self) -> dict[str, Any]:
+        return self.snapshot().get("props", {})
+
+    def vacuum(
+        self, keep_versions: int = 2, min_age_seconds: float = 3600.0
+    ) -> dict[str, int]:
         """Expire old snapshots and physically delete data files no
         retained snapshot references — the Iceberg
         expire_snapshots/remove_orphan_files analogue.  Keeps the last
         ``keep_versions`` snapshots (bounding time travel); never
         touches files any retained snapshot references.
 
+        ``min_age_seconds`` is the concurrent-writer guard (Iceberg's
+        remove_orphan_files ``older_than``): an in-flight merge writes
+        its data files *before* committing its snapshot, so an
+        unreferenced-but-young file may belong to a commit about to
+        happen — deleting it would publish a snapshot referencing
+        missing files.  Only unreferenced files whose mtime is older
+        than the cutoff are removed; pass 0 only when the caller holds
+        exclusive writer access.
+
         Safe relative to readers of retained versions only; like any
         lakehouse vacuum, concurrent readers of expired versions fail
         afterwards."""
+        import time
+
         assert keep_versions >= 1
+        cutoff = time.time() - min_age_seconds
         versions = sorted(
             int(fn[1:-5])
             for fn in os.listdir(self._snap_dir)
@@ -631,6 +660,7 @@ class LakeTable:
             for commit in sorted(os.listdir(data_root)):
                 cdir = os.path.join(data_root, commit)
                 refs_in_dir = False
+                young_in_dir = False
                 unref: list[str] = []
                 for dirpath, _dirs, files in os.walk(cdir):
                     for fn in files:
@@ -638,9 +668,11 @@ class LakeTable:
                         rel = os.path.relpath(full, self.path)
                         if rel in referenced:
                             refs_in_dir = True
+                        elif os.path.getmtime(full) > cutoff:
+                            young_in_dir = True
                         elif fn.endswith(".parquet"):
                             unref.append(full)
-                if not refs_in_dir:
+                if not refs_in_dir and not young_in_dir:
                     removed_files += sum(
                         len(files) for _p, _d, files in os.walk(cdir)
                     )

@@ -52,6 +52,34 @@ def test_rollup_redelivery_is_noop(spark, tmp_table_dir):
     _assert_rollup_consistent(pipe, spark)
 
 
+def test_rollup_recovers_from_crash_between_commits(spark, tmp_table_dir):
+    """Crash window: target merge committed but the rollup overwrite
+    didn't (the two commits are not atomic).  On redelivery every
+    change image reports skipped_stale (zero delta), so incremental
+    folding alone would lose the batch forever; the synced-version
+    check in the rollup props must detect the lag and rebuild."""
+    feed = change_feed(spark, 2000, 150, seed=11, num_batches=2, max_len=32)
+    pipe = CdcPipeline.create(f"{tmp_table_dir}/pipe")
+    b0 = feed.filter(F.col("batch") == 0)
+    b1 = feed.filter(F.col("batch") == 1)
+    apply_batch(pipe, b0, batch_id=0, with_rollup=True)
+    # simulate the crash: batch 1's merge commits, rollup update is lost
+    apply_batch(pipe, b1, batch_id=1, with_rollup=False)
+    # foreachBatch redelivers batch 1 after restart
+    apply_batch(pipe, b1, batch_id=1, with_rollup=True)
+    _assert_rollup_consistent(pipe, spark)
+
+
+def test_rollup_enabled_late_backfills(spark, tmp_table_dir):
+    """Turning with_rollup on mid-stream must not silently produce a
+    rollup that reflects only post-enable batches."""
+    feed = change_feed(spark, 2000, 150, seed=12, num_batches=2, max_len=32)
+    pipe = CdcPipeline.create(f"{tmp_table_dir}/pipe")
+    apply_batch(pipe, feed.filter(F.col("batch") == 0), batch_id=0, with_rollup=False)
+    apply_batch(pipe, feed.filter(F.col("batch") == 1), batch_id=1, with_rollup=True)
+    _assert_rollup_consistent(pipe, spark)
+
+
 def test_rollup_handles_deletes(spark, tmp_table_dir):
     feed = change_feed(spark, 3000, 100, seed=9, num_batches=1, delete_frac=0.4, max_len=16)
     pipe = CdcPipeline.create(f"{tmp_table_dir}/pipe")

@@ -116,3 +116,30 @@ def test_stream_csv_flat_file_drops(spark, tmp_table_dir):
         max_files_per_trigger=1, feed_format="csv",
     )
     assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+
+
+def test_stream_csv_honors_evolved_feed_schema(spark, tmp_table_dir):
+    """The CSV wire schema is derived from ``feed_schema`` (array<int>
+    columns become <name>_txt at the same position), so the documented
+    schema-evolution restart handoff works for flat-file feeds too."""
+    from horizon_etl_spark.cdc.generator import evolved_feed
+
+    feed = evolved_feed(spark, 1500, 100, num_batches=2)
+    logical = feed.drop("batch").schema
+    csv_cols = [
+        F.array_join("tokens", " ").alias("tokens_txt") if f.name == "tokens" else F.col(f.name)
+        for f in logical.fields
+    ]
+    src = os.path.join(tmp_table_dir, "feed")
+    for b in [0, 1]:
+        feed.filter(F.col("batch") == b).select(*csv_cols).coalesce(1).write.mode(
+            "append"
+        ).csv(src)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream(
+        spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"),
+        max_files_per_trigger=1, feed_format="csv", feed_schema=logical,
+    )
+    out = pipe.target.read(spark)
+    assert "lang" in out.columns
+    assert_frames_equal(out, expected_final(feed))

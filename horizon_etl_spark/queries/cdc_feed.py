@@ -113,6 +113,92 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_attr_lww_state",
+    oracle="""
+    WITH feed AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
+             CAST(floor(value * 100) AS BIGINT) AS score_v,
+             upper(event_type) AS label_v,
+             event_type IN ('click', 'signup') AS has_score,
+             event_type IN ('view', 'signup') AS has_label
+      FROM events
+    ), agg AS (
+      SELECT doc_id,
+             max(lsn) FILTER (WHERE op = 'delete') AS dl,
+             arg_max(score_v, lsn) FILTER (WHERE op <> 'delete' AND has_score) AS score,
+             max(lsn) FILTER (WHERE op <> 'delete' AND has_score) AS al_score,
+             arg_max(label_v, lsn) FILTER (WHERE op <> 'delete' AND has_label) AS label,
+             max(lsn) FILTER (WHERE op <> 'delete' AND has_label) AS al_label
+      FROM feed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN coalesce(al_score, -1) > coalesce(dl, -1) THEN score END AS score,
+           CASE WHEN coalesce(al_label, -1) > coalesce(dl, -1) THEN label END AS label
+    FROM agg
+    WHERE coalesce(al_score, -1) > coalesce(dl, -1)
+       OR coalesce(al_label, -1) > coalesce(dl, -1)
+    """,
+)
+def cdc_attr_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-attribute LWW end-to-end (reference field-level conflict
+    resolution, canonical_exporter.py:749-753/834-850,
+    attribute_assertion.py:8-44): events are treated as PARTIAL updates
+    — clicks assert only ``score``, views only ``label``, signups both,
+    errors nothing, purchases delete the key — applied through the real
+    attr kernel (attr_lww_reduce → LakeTable.merge_attrs) in three
+    lsn-range micro-batches.  The DuckDB oracle resolves each
+    (key, attribute) independently with arg_max + the delete watermark."""
+    from horizon_etl_spark.cdc.attrs import attr_lww_reduce
+    from horizon_etl_spark.tables.lake import LakeTable
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    e = table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    feed = e.select(
+        F.when(et == "purchase", "delete").otherwise("update").alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.floor(F.col("value") * 100).cast("long").alias("score"),
+        F.upper(et).alias("label"),
+        F.when(et == "click", F.array(F.lit("score")))
+        .when(et == "view", F.array(F.lit("label")))
+        .when(et == "signup", F.array(F.lit("score"), F.lit("label")))
+        .when(et == "purchase", F.lit(None).cast("array<string>"))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("fields"),
+    )
+    lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).collect()[0]
+    root = tempfile.mkdtemp(prefix="cdc_attr_lww_")
+    t = LakeTable.create(
+        f"{root}/target",
+        StructType(
+            [
+                StructField("doc_id", StringType(), False),
+                StructField("score", LongType(), True),
+                StructField("label", StringType(), True),
+            ]
+        ),
+        key_col="doc_id",
+        bucket_count=8,
+        attr_lww=True,
+    )
+    span = max(1, (int(hi) - int(lo) + 3) // 3)
+    for b in range(3):
+        batch = feed.filter(
+            (F.col("lsn") >= int(lo) + b * span) & (F.col("lsn") < int(lo) + (b + 1) * span)
+        )
+        t.merge_attrs(attr_lww_reduce(batch))
+    return t.read(spark).select("doc_id", "score", "label")
+
+
+@register(
     "cdc_lww_state",
     oracle="""
     SELECT CAST(user_id AS BIGINT) AS user_id,

@@ -64,6 +64,14 @@ from pyspark.sql.types import (
 LSN_COL = "_lsn"
 TOMBSTONE_COL = "_tombstone"
 BUCKET_COL = "_bucket"
+# Per-attribute LWW tables additionally carry one assertion-lsn column
+# per payload column plus the row's delete watermark.
+DEL_LSN_COL = "_del_lsn"
+ALSN_PREFIX = "_alsn_"
+
+
+def alsn_col(c: str) -> str:
+    return f"{ALSN_PREFIX}{c}"
 
 
 @dataclass
@@ -142,19 +150,32 @@ class LakeTable:
         key_col: str | None = None,
         bucket_count: int = 16,
         props: dict[str, Any] | None = None,
+        attr_lww: bool = False,
     ) -> "LakeTable":
         t = cls(path)
         os.makedirs(t._snap_dir, exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         if key_col is not None:
             # keyed (merge-managed) tables carry the lsn guard + delete
-            # tombstone as physical meta columns
+            # tombstone as physical meta columns; attr-LWW tables
+            # additionally carry one assertion-lsn per payload column
+            # and the delete watermark (field-level provenance, the
+            # reference's attribute_assertion rows
+            # /root/reference/src/tracking/entities/attribute_assertion.py:8-44
+            # folded into the row layout)
             names = {f.name for f in schema.fields}
             extra = []
             if LSN_COL not in names:
                 extra.append(StructField(LSN_COL, LongType(), True))
             if TOMBSTONE_COL not in names:
                 extra.append(StructField(TOMBSTONE_COL, BooleanType(), True))
+            if attr_lww:
+                extra.append(StructField(DEL_LSN_COL, LongType(), True))
+                extra.extend(
+                    StructField(alsn_col(f.name), LongType(), True)
+                    for f in schema.fields
+                    if f.name != key_col
+                )
             schema = StructType(list(schema.fields) + extra)
         t._commit(
             version=1,
@@ -164,6 +185,7 @@ class LakeTable:
                 "schema": schema.jsonValue(),
                 "key_col": key_col,
                 "bucket_count": bucket_count,
+                "attr_lww": attr_lww,
                 "files": [],
                 "props": props or {},
                 "operation": "create",
@@ -227,7 +249,11 @@ class LakeTable:
         df = self._scan(spark, files, schema)
         if include_meta:
             return df
-        cols = [f.name for f in schema.fields if f.name not in (LSN_COL, TOMBSTONE_COL)]
+
+        def is_meta(n: str) -> bool:
+            return n in (LSN_COL, TOMBSTONE_COL, DEL_LSN_COL) or n.startswith(ALSN_PREFIX)
+
+        cols = [f.name for f in schema.fields if not is_meta(f.name)]
         if TOMBSTONE_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df.select(*cols)
@@ -570,6 +596,218 @@ class LakeTable:
             "rewritten_files": len(rewrite_files),
             "carried_files": len(carry_files),
             "change_log": change_log,
+        }
+
+    # ----------------------------------------------------------- merge_attrs
+    def merge_attrs(self, winners: DataFrame) -> dict[str, Any]:
+        """Field-level (per-attribute) LWW MERGE for partial-update
+        change events — the reference's core conflict resolution:
+        latest *selected assertion* per (entity, attribute) wins
+        (/root/reference/src/core/logic/canonical_exporter.py:749-753,
+        first-hit fold :834-850;
+        /root/reference/src/tracking/entities/attribute_assertion.py:8-44).
+
+        ``winners`` must be the output of
+        :func:`horizon_etl_spark.cdc.attrs.attr_lww_reduce` — one row
+        per key with, for each payload column ``c``: the batch-winning
+        value ``c`` and its assertion lsn ``_alsn_c`` (null when the
+        batch never asserted ``c``), plus ``_del_lsn`` (the batch's
+        highest delete lsn for the key, null if none).
+
+        Resolution per (key, attribute) — a commutative, associative,
+        idempotent fold, so batch boundaries / replay order / duplicate
+        delivery cannot change the result:
+
+          del_m   = max(table._del_lsn, batch._del_lsn)          # delete watermark
+          live(x) = x.alsn is not null AND x.alsn > del_m        # survived every delete
+          winner  = the live side with the higher alsn (batch wins ties:
+                    a redelivered batch re-writes the identical value)
+          row dead (tombstone) iff no attribute is live; the watermark
+          row is kept so later out-of-order stale assertions stay dead.
+
+        Unlike whole-row merge, a batch whose max lsn is *lower* than
+        the row's — but which asserts a column never asserted before —
+        correctly lands that column (the bug class whole-row LWW has
+        with partial updates)."""
+        snap = self.snapshot()
+        assert snap.get("attr_lww"), "merge_attrs requires an attr_lww table"
+        spark = winners.sparkSession
+        key = snap["key_col"]
+        nb = snap["bucket_count"]
+
+        # --- additive schema evolution: new payload col → + its alsn col
+        table_schema = StructType.fromJson(snap["schema"])
+        known = {f.name for f in table_schema.fields}
+        new_payload = [
+            c
+            for c in winners.columns
+            if c not in known
+            and c != DEL_LSN_COL
+            and not c.startswith(ALSN_PREFIX)
+        ]
+        if new_payload:
+            add = [f for f in winners.schema.fields if f.name in new_payload]
+            add += [StructField(alsn_col(c), LongType(), True) for c in new_payload]
+            self.evolve_schema(
+                StructType(list(table_schema.fields) + add), operation="evolve(merge_attrs)"
+            )
+            snap = self.snapshot()
+            table_schema = StructType.fromJson(snap["schema"])
+
+        payload_cols = [
+            f.name
+            for f in table_schema.fields
+            if f.name not in (key, LSN_COL, TOMBSTONE_COL, DEL_LSN_COL)
+            and not f.name.startswith(ALSN_PREFIX)
+        ]
+
+        src = winners.withColumn(BUCKET_COL, bucket_expr(key, nb))
+        touched = (
+            src.groupBy(BUCKET_COL)
+            .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
+            .collect()
+        )
+        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
+        all_files = [FileEntry.from_json(f) for f in snap["files"]]
+        rewrite_files, carry_files = [], []
+        for f in all_files:
+            rng = touched_range.get(f.bucket)
+            overlaps = rng is not None and not (
+                f.max_key is not None
+                and f.min_key is not None
+                and (f.max_key < rng[0] or f.min_key > rng[1])
+            )
+            (rewrite_files if overlaps else carry_files).append(f)
+
+        cur = self._scan(spark, rewrite_files, table_schema).withColumn(
+            BUCKET_COL, bucket_expr(key, nb)
+        )
+
+        def s_val(c):  # batch side, null when the column is post-evolution
+            if c in winners.columns:
+                return F.col(c)
+            return F.lit(None).cast(table_schema[c].dataType)
+
+        def s_al(c):
+            if alsn_col(c) in winners.columns:
+                return F.col(alsn_col(c))
+            return F.lit(None).cast("long")
+
+        s = src.select(
+            F.col(key).alias("_s_key"),
+            F.col(BUCKET_COL).alias("_s_bucket"),
+            F.coalesce(F.col(DEL_LSN_COL), F.lit(None).cast("long")).alias("_s_del"),
+            *[s_val(c).alias(f"_s_{c}") for c in payload_cols],
+            *[s_al(c).alias(f"_s_al_{c}") for c in payload_cols],
+        )
+        t = cur.select(
+            F.col(key).alias("_t_key"),
+            F.col(BUCKET_COL).alias("_t_bucket"),
+            F.col(DEL_LSN_COL).alias("_t_del"),
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("_t_tomb"),
+            *[F.col(c).alias(f"_t_{c}") for c in payload_cols],
+            *[F.col(alsn_col(c)).alias(f"_t_al_{c}") for c in payload_cols],
+        )
+        j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer").persist()
+
+        del_m = F.greatest(
+            F.coalesce(F.col("_t_del"), F.lit(-1)), F.coalesce(F.col("_s_del"), F.lit(-1))
+        )
+
+        def resolved(c):
+            t_al, s_al_ = F.col(f"_t_al_{c}"), F.col(f"_s_al_{c}")
+            t_live = t_al.isNotNull() & (t_al > del_m)
+            s_live = s_al_.isNotNull() & (s_al_ > del_m)
+            take_s = s_live & (~F.coalesce(t_live, F.lit(False)) | (s_al_ >= t_al))
+            new_al = F.when(take_s, s_al_).when(t_live, t_al)
+            new_v = (
+                F.when(take_s, F.col(f"_s_{c}"))
+                .when(t_live, F.col(f"_t_{c}"))
+                .otherwise(F.lit(None).cast(table_schema[c].dataType))
+            )
+            return new_v, new_al
+
+        def _greatest(cols):
+            return cols[0] if len(cols) == 1 else F.greatest(*cols)
+
+        res = {c: resolved(c) for c in payload_cols}
+        alsns = [F.coalesce(res[c][1], F.lit(-1)) for c in payload_cols]
+        alive = _greatest(alsns) > F.lit(-1)
+        new_del = F.when(del_m >= 0, del_m)
+        row_lsn = _greatest([F.coalesce(new_del, F.lit(-1))] + alsns)
+
+        merged = j.select(
+            F.coalesce(F.col("_t_key"), F.col("_s_key")).alias(key),
+            F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL),
+            row_lsn.alias(LSN_COL),
+            (~alive).alias(TOMBSTONE_COL),
+            new_del.alias(DEL_LSN_COL),
+            *[res[c][0].alias(c) for c in payload_cols],
+            *[res[c][1].alias(alsn_col(c)) for c in payload_cols],
+        )
+
+        version = snap["version"] + 1
+        ordered = (
+            [key, LSN_COL, TOMBSTONE_COL, DEL_LSN_COL]
+            + payload_cols
+            + [alsn_col(c) for c in payload_cols]
+        )
+        new_files = self._write_data(
+            merged.select(BUCKET_COL, *ordered), version, bucketed=True
+        )
+        files = carry_files + new_files
+
+        changed = F.lit(False)
+        for c in payload_cols:
+            changed = changed | ~res[c][1].eqNullSafe(F.col(f"_t_al_{c}"))
+        changed = changed | ~new_del.eqNullSafe(F.col("_t_del"))
+        t_alive_before = F.col("_t_key").isNotNull() & ~F.col("_t_tomb")
+        in_batch = F.col("_s_key").isNotNull()
+        stats_row = (
+            j.agg(
+                F.sum(F.when(in_batch, 1).otherwise(0)).alias("batch_rows"),
+                F.sum(F.when(in_batch & ~t_alive_before & alive & changed, 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(in_batch & t_alive_before & alive & changed, 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(in_batch & t_alive_before & ~alive, 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(in_batch & F.col("_t_key").isNull() & ~alive, 1).otherwise(0)).alias("delete_noop"),
+                F.sum(F.when(in_batch & ~changed & ~(F.col("_t_key").isNull() & ~alive), 1).otherwise(0)).alias("skipped_stale"),
+            )
+        ).collect()[0]
+        j.unpersist()
+
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "files": [f.to_json() for f in files],
+                "operation": "merge_attrs",
+                "summary": {
+                    "batch_rows": int(stats_row["batch_rows"] or 0),
+                    "inserted": int(stats_row["inserted"] or 0),
+                    "updated": int(stats_row["updated"] or 0),
+                    "deleted": int(stats_row["deleted"] or 0),
+                    "skipped_stale": int(stats_row["skipped_stale"] or 0),
+                    "rewritten_files": len(rewrite_files),
+                    "carried_files": len(carry_files),
+                },
+            },
+        )
+        return {
+            "version": version,
+            "inserted": int(stats_row["inserted"] or 0),
+            "updated": int(stats_row["updated"] or 0),
+            "deleted": int(stats_row["deleted"] or 0),
+            "delete_noop": int(stats_row["delete_noop"] or 0),
+            "skipped_stale": int(stats_row["skipped_stale"] or 0),
+            "applied": int(
+                (stats_row["inserted"] or 0)
+                + (stats_row["updated"] or 0)
+                + (stats_row["deleted"] or 0)
+            ),
+            "rewritten_files": len(rewrite_files),
+            "carried_files": len(carry_files),
         }
 
     # ------------------------------------------------------------ overwrite

@@ -1,0 +1,179 @@
+"""Per-attribute LWW: partial-update events converge to the field-wise
+sequential-fold oracle regardless of batching, order, or redelivery."""
+
+import os
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from horizon_etl_spark.cdc.attrs import attr_lww_reduce, sequential_fold_oracle
+from horizon_etl_spark.tables.lake import LakeTable
+
+PAYLOAD = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("score", IntegerType(), True),
+        StructField("label", StringType(), True),
+    ]
+)
+
+FEED_SCHEMA = StructType(
+    [
+        StructField("op", StringType(), True),
+        StructField("doc_id", StringType(), True),
+        StructField("lsn", LongType(), True),
+        StructField("score", IntegerType(), True),
+        StructField("label", StringType(), True),
+        StructField("fields", ArrayType(StringType()), True),
+    ]
+)
+
+
+def feed_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            {"op": op, "doc_id": d, "lsn": l, "score": sc, "label": lb, "fields": fl}
+            for (op, d, l, sc, lb, fl) in rows
+        ],
+        FEED_SCHEMA,
+    )
+
+
+def make_table(tmp_table_dir, name="t"):
+    return LakeTable.create(
+        os.path.join(tmp_table_dir, name),
+        PAYLOAD,
+        key_col="doc_id",
+        bucket_count=4,
+        attr_lww=True,
+    )
+
+
+def apply_batches(t, spark, batches):
+    for rows in batches:
+        t.merge_attrs(attr_lww_reduce(feed_df(spark, rows)))
+
+
+def assert_matches_oracle(t, spark, all_rows):
+    events = [
+        {"op": op, "doc_id": d, "lsn": l, "score": sc, "label": lb, "fields": fl}
+        for (op, d, l, sc, lb, fl) in all_rows
+    ]
+    expected = sequential_fold_oracle(events, ["score", "label"])
+    got = {
+        r["doc_id"]: {"score": r["score"], "label": r["label"]}
+        for r in t.read(spark).collect()
+    }
+    assert got == expected
+
+
+def test_partial_update_preserves_untouched_columns(spark, tmp_table_dir):
+    t = make_table(tmp_table_dir)
+    rows = [
+        ("update", "a", 1, 10, "x", None),          # full row
+        ("update", "a", 2, 99, None, ["score"]),    # partial: only score
+    ]
+    apply_batches(t, spark, [rows])
+    r = t.read(spark).collect()[0]
+    assert r["score"] == 99
+    assert r["label"] == "x", "untouched column must survive a partial update"
+
+
+def test_cross_batch_lower_lsn_partial_lands(spark, tmp_table_dir):
+    """THE whole-row-LWW bug class: a later batch carrying a LOWER-lsn
+    event that asserts a column never asserted before must land that
+    column instead of being skipped as stale."""
+    t = make_table(tmp_table_dir)
+    apply_batches(t, spark, [[("update", "a", 10, 5, None, ["score"])]])
+    apply_batches(t, spark, [[("update", "a", 7, None, "late", ["label"])]])
+    r = t.read(spark).collect()[0]
+    assert r["score"] == 5
+    assert r["label"] == "late"
+    # but a stale assert of an ALREADY-asserted column must not win
+    apply_batches(t, spark, [[("update", "a", 3, 1, None, ["score"])]])
+    assert t.read(spark).collect()[0]["score"] == 5
+
+
+def test_delete_wipes_and_blocks_older_asserts(spark, tmp_table_dir):
+    t = make_table(tmp_table_dir)
+    apply_batches(t, spark, [[("update", "a", 1, 1, "x", None)]])
+    apply_batches(t, spark, [[("delete", "a", 5, None, None, None)]])
+    assert t.read(spark).count() == 0
+    # assertion below the delete watermark arrives late → stays dead
+    apply_batches(t, spark, [[("update", "a", 3, 7, None, ["score"])]])
+    assert t.read(spark).count() == 0
+    # assertion above the watermark recreates the row, other col null
+    apply_batches(t, spark, [[("update", "a", 8, 42, None, ["score"])]])
+    r = t.read(spark).collect()[0]
+    assert r["score"] == 42 and r["label"] is None
+
+
+def test_redelivery_idempotent(spark, tmp_table_dir):
+    t = make_table(tmp_table_dir)
+    b = [("update", "a", 1, 1, "x", None), ("update", "b", 2, 2, None, ["score"])]
+    apply_batches(t, spark, [b])
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    s = t.merge_attrs(attr_lww_reduce(feed_df(spark, b)))
+    assert s["applied"] == 0 and s["skipped_stale"] == 2
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+
+
+def test_random_feed_any_batching_converges(spark, tmp_table_dir):
+    rng = random.Random(1234)
+    keys = [f"d{i}" for i in range(30)]
+    rows = []
+    for lsn in range(1, 400):
+        k = rng.choice(keys)
+        r = rng.random()
+        if r < 0.12:
+            rows.append(("delete", k, lsn, None, None, None))
+        else:
+            choice = rng.random()
+            fields = (
+                None
+                if choice < 0.3
+                else ["score"]
+                if choice < 0.6
+                else ["label"]
+                if choice < 0.9
+                else []
+            )
+            rows.append(("update", k, lsn, rng.randrange(1000), f"v{lsn}", fields))
+
+    # three schedules: ordered batches, shuffled batch order, + redelivery
+    def batches_of(seq, n):
+        sz = (len(seq) + n - 1) // n
+        return [seq[i * sz : (i + 1) * sz] for i in range(n)]
+
+    ordered = batches_of(rows, 5)
+    shuffled = ordered[::-1]
+    redelivered = ordered[:3] + [ordered[1]] + ordered[3:]
+
+    for name, sched in [("ordered", ordered), ("reversed", shuffled), ("redelivered", redelivered)]:
+        t = make_table(tmp_table_dir, name)
+        apply_batches(t, spark, sched)
+        assert_matches_oracle(t, spark, rows)
+
+
+def test_attr_schema_evolution(spark, tmp_table_dir):
+    """A batch asserting a brand-new column evolves the table (payload
+    col + its assertion-lsn col), old rows read null."""
+    t = make_table(tmp_table_dir)
+    apply_batches(t, spark, [[("update", "a", 1, 1, "x", None)]])
+    evolved = spark.createDataFrame(
+        [{"op": "update", "doc_id": "b", "lsn": 2, "score": 2, "label": "y",
+          "lang": "pt", "fields": None}],
+        StructType(list(FEED_SCHEMA.fields) + [StructField("lang", StringType(), True)]),
+    )
+    t.merge_attrs(attr_lww_reduce(evolved))
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert rows["b"]["lang"] == "pt"
+    assert rows["a"]["lang"] is None

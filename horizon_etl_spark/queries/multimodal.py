@@ -47,8 +47,8 @@ FEATURE_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("media_type", StringType(), True),
         StructField("n_bytes", LongType(), True),
-        StructField("width", IntegerType(), True),
-        StructField("height", IntegerType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
         StructField("checksum", LongType(), True),
     ]
 )
@@ -127,8 +127,31 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("media_features")  # mapInPandas decode stub — rows-only check
+@register(
+    "media_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/fake' ELSE 'audio/fake' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((cs % 640) + 1 AS BIGINT) AS width,
+           CAST((cs % 480) + 1 AS BIGINT) AS height,
+           CAST(cs AS BIGINT) AS checksum
+    FROM (
+      SELECT doc_id, text,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list_transform(
+                 generate_series(1, least(64, length(text))),
+                 i -> CAST(ord(substring(text, i, 1)) AS BIGINT))),
+               (a, x) -> (a * 131 + x) % 2147483648) AS cs
+      FROM documents
+    )
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal pipeline: synthesize binary media → Arrow-batched
-    fake decode → typed feature rows."""
+    fake decode → typed feature rows.  The decode stub is deterministic
+    byte arithmetic, so the whole pipeline — including the mapInPandas
+    kernel's output — is exactly oracle-checkable (the oracle folds the
+    same 131-multiplier checksum over the first 64 bytes; testdata text
+    is ASCII so code points == bytes)."""
     return extract_features(media_from_documents(spark, sf_dir))

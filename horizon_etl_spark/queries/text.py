@@ -261,14 +261,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- minhash
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signatures over word-3-gram shingles, all JVM-side.
 
-    Physical shape: explode shingles → ``num_hashes`` codegen'd
-    xxhash64 columns (literal seeds) → partial+final min-aggregate per
-    doc → packed back into an array.  An earlier formulation computed
-    the signature with nested higher-order-function lambdas
+    ``hash_fn='md5'`` (default): slot i = MIN over shingles of
+    ``md5('<i>|' || shingle)`` as a 32-char hex string — fixed-length
+    hex, so lexicographic MIN == numeric MIN, and DuckDB computes the
+    exact same strings (the signatures/bands are *exactly*
+    oracle-checkable).  ``hash_fn='xxhash64'`` is the max-throughput
+    variant (8-byte longs, ~2-3× cheaper per shingle) with identical
+    structure but no cross-engine twin.
+
+    Physical shape: explode shingles → ``num_hashes`` codegen'd hash
+    columns (literal seeds) → partial+final min-aggregate per doc →
+    packed back into an array.  An earlier formulation computed the
+    signature with nested higher-order-function lambdas
     (transform(seq, seed -> array_min(transform(shingles, ...)))) —
     nested HOF lambdas are evaluated interpreted, outside whole-stage
     codegen, and measured 18× slower (9.0s → 0.5s for 5000 docs).
@@ -293,19 +305,60 @@ def minhash_signatures(
     # attribute measures ~5x slower (Generate loses the collapsed
     # projection); explode also drops empty arrays, no filter needed
     ex = docs.select(id_col, F.explode(shingles).alias("_sh"))
-    hashed = ex.select(
-        id_col, *[F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
-    )
+    if hash_fn == "md5":
+        hcols = [
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("_sh"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        hcols = [F.xxhash64("_sh", F.lit(i)).alias(f"_h{i}") for i in range(num_hashes)]
+    hashed = ex.select(id_col, *hcols)
     return hashed.groupBy(id_col).agg(
         F.array(*[F.min(f"_h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
-@register("minhash_dedup")  # no SQL oracle: xxhash64 has no DuckDB twin
+_MINHASH_ORACLE = """
+    WITH wd AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM wd WHERE len(w) >= 3
+    ), hs AS (
+      SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || '|' || s)) AS mh
+      FROM sh, unnest(shingles) AS t(s), generate_series(0, 15) AS g(i)
+      GROUP BY doc_id, i
+    ), sig AS (
+      SELECT doc_id, list(mh ORDER BY i) AS sig FROM hs GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, b,
+             md5(sig[b*4+1] || sig[b*4+2] || sig[b*4+3] || sig[b*4+4]) AS bh
+      FROM sig, generate_series(0, 3) AS gb(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(c.doc_a AS BIGINT) AS doc_a, CAST(c.doc_b AS BIGINT) AS doc_b,
+           CAST(len(list_filter(generate_series(1, 16),
+                                i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_agree
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) * 2 >= 16
+    """
+
+
+@register("minhash_dedup", oracle=_MINHASH_ORACLE)
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidates: signatures → band
-    buckets (band = hash of 4 consecutive sig slots) → pairs sharing a
-    bucket → verified by signature agreement >= 50%.
+    buckets (band = md5 of 4 consecutive sig slots) → pairs sharing a
+    bucket → verified by signature agreement >= 50%.  On md5 the whole
+    pipeline — signatures, band buckets, candidate pairs, agreement
+    counts — is reproduced exactly by the DuckDB oracle (no
+    approximate/rows-only check).
 
     This is the 100-TB-scale path: candidate generation is a groupBy on
     (band_id, band_hash) — work is proportional to collisions, never to
@@ -326,7 +379,9 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(3)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(F.slice(F.col("sig"), b * 4 + 1, 4)).alias("band_hash"),
+                    F.md5(F.concat_ws("", F.slice(F.col("sig"), b * 4 + 1, 4))).alias(
+                        "band_hash"
+                    ),
                 ),
             )
         ).alias("band"),
@@ -358,41 +413,99 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_docs")  # no SQL oracle: xxhash64 bit ops
+def _simhash_oracle() -> str:
+    """Generate the DuckDB twin of the md5 SimHash: per-bit set-counts
+    via hex-nibble decode (strpos alphabet), majority → bit, bits →
+    16-hex-char hash string + its four 4-char (16-bit) bands."""
+    counts = []
+    for b in range(64):
+        ci, k = b // 4 + 1, 3 - (b % 4)
+        counts.append(
+            f"list_sum(list_transform(hs, h -> "
+            f"((strpos('0123456789abcdef', substring(h, {ci}, 1)) - 1) >> {k}) & 1)) AS c{b}"
+        )
+    nibbles = []
+    for j in range(16):
+        bits = " + ".join(
+            f"(CASE WHEN 2 * coalesce(c{4 * j + i}, 0) > n THEN {1 << (3 - i)} ELSE 0 END)"
+            for i in range(4)
+        )
+        nibbles.append(f"substring('0123456789abcdef', ({bits}) + 1, 1)")
+    sim = " || ".join(nibbles)
+    return f"""
+    WITH wd AS (
+      SELECT doc_id,
+             list_transform(list_distinct(regexp_split_to_array(trim(text), ' +')),
+                            s -> md5(s)) AS hs
+      FROM documents
+    ), cnt AS (
+      SELECT doc_id, len(hs) AS n, {", ".join(counts)} FROM wd
+    ), sh AS (
+      SELECT doc_id, {sim} AS simhash FROM cnt
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash,
+           substring(simhash, 1, 4) AS band0, substring(simhash, 5, 4) AS band1,
+           substring(simhash, 9, 4) AS band2, substring(simhash, 13, 4) AS band3
+    FROM sh
+    """
+
+
+@register("simhash_docs", oracle=_simhash_oracle())
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document: per-word xxhash64, per-bit vote sum,
-    sign → bit.  Emitted as the hash plus its 4 16-bit bands (hamming
-    candidate buckets).  All JVM expressions — no UDF."""
+    """64-bit SimHash per document: per-word md5, per-bit majority vote
+    over the first 16 hex nibbles, emitted as a 16-hex-char hash plus
+    its 4 four-char (16-bit) hamming candidate bands.  All JVM
+    expressions — no UDF — and exactly reproduced by the DuckDB oracle
+    (md5 is the cross-engine hash; nibbles decode via conv() on the
+    Spark side, strpos-alphabet on DuckDB).
+
+    Physical shape: one md5 per distinct word (computed once into an
+    array column), then 64 static ``aggregate`` folds — each a
+    codegen'd single pass over the hash array — then pure projections."""
     d = table(spark, sf_dir, "documents")
     w = _words()
-    hashes = F.transform(F.array_distinct(w), lambda s: F.xxhash64(s))
-    # one aggregate per bit (static unroll — single pass over the array
-    # per bit, all inside whole-stage codegen)
-    def _vote(b: int):
-        return lambda acc, x: acc + F.when(
-            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    hashes = F.transform(F.array_distinct(w), lambda s: F.md5(s))
 
-    bit_votes = F.array(*[F.aggregate(F.col("h"), F.lit(0), _vote(b)) for b in range(64)])
-    # sign bit (63) must carry the long's sign: add -2^63 instead of 1<<63
-    simhash = sum(
-        [
-            F.when(F.element_at(F.col("votes"), b + 1) > 0, F.lit(1 << b).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
-            for b in range(63)
-        ],
-        F.when(F.element_at(F.col("votes"), 64) > 0, F.lit(-(2**63)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
+    # set-bit count for bit b: nibble = conv(hex char, 16, 10), then
+    # (nibble >> k) & 1 summed over words
+    def _count(b: int):
+        ci, k = b // 4 + 1, 3 - (b % 4)
+        return F.aggregate(
+            F.col("h"),
+            F.lit(0),
+            lambda acc, x: acc
+            + F.shiftright(
+                F.conv(F.substring(x, ci, 1), 16, 10).cast("int"), k
+            ).bitwiseAND(F.lit(1)),
+        )
+
+    bit_counts = F.array(*[_count(b) for b in range(64)])
+    n = F.size(F.col("h"))
+
+    def _bit(b: int) -> F.Column:
+        return F.when(F.element_at(F.col("cnt"), b + 1) * 2 > n, F.lit(1 << (3 - b % 4))).otherwise(
+            F.lit(0)
+        )
+
+    alphabet = "0123456789abcdef"
+    nibble_chars = [
+        F.substring(
+            F.lit(alphabet),
+            sum([_bit(4 * j + i) for i in range(4)], F.lit(0)) + 1,
+            1,
+        )
+        for j in range(16)
+    ]
     out = (
         d.select(F.col("doc_id").cast("long").alias("doc_id"), hashes.alias("h"))
-        .withColumn("votes", bit_votes)
-        .withColumn("simhash", simhash)
+        .withColumn("cnt", bit_counts)
+        .withColumn("simhash", F.concat(*nibble_chars))
     )
-    for i in range(4):
-        out = out.withColumn(
-            f"band{i}",
-            F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).cast("long"),
-        )
-    return out.select("doc_id", "simhash", "band0", "band1", "band2", "band3")
+    return out.select(
+        "doc_id",
+        "simhash",
+        F.substring("simhash", 1, 4).alias("band0"),
+        F.substring("simhash", 5, 4).alias("band1"),
+        F.substring("simhash", 9, 4).alias("band2"),
+        F.substring("simhash", 13, 4).alias("band3"),
+    )

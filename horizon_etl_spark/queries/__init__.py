@@ -19,6 +19,7 @@ from horizon_etl_spark.queries.registry import ORACLES, QUERIES, register, table
 # importing the modules populates the registry
 from horizon_etl_spark.queries import relational  # noqa: E402,F401
 from horizon_etl_spark.queries import cdc_feed  # noqa: E402,F401
+from horizon_etl_spark.queries import matching  # noqa: E402,F401
 from horizon_etl_spark.queries import scalars  # noqa: E402,F401
 from horizon_etl_spark.queries import text  # noqa: E402,F401
 from horizon_etl_spark.queries import vectors  # noqa: E402,F401

@@ -83,3 +83,86 @@ def entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "match_strategy",
         "match_confidence",
     ).drop("qname")
+
+
+_MAPPING_CTE = """
+    e AS (SELECT p_partkey AS id,
+                 lower(trim(regexp_replace(p_name, ' +', ' ', 'g'))) AS canon,
+                 CAST(p_retailprice AS DECIMAL(18,2)) AS q
+          FROM part),
+    r AS (SELECT *, row_number() OVER (PARTITION BY canon
+                                       ORDER BY q DESC, id ASC) AS rn FROM e),
+    mapping AS (
+      SELECT l.canon AS canonical_name,
+             l.id AS loser_id, w.id AS winner_id
+      FROM r l JOIN r w ON l.canon = w.canon AND w.rn = 1
+      WHERE l.rn > 1)
+"""
+
+
+def _part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("q"),
+    )
+
+
+@register(
+    "entity_consolidation_mapping",
+    oracle=f"""
+    WITH {_MAPPING_CTE}
+    SELECT canonical_name, CAST(loser_id AS BIGINT) AS loser_id,
+           CAST(winner_id AS BIGINT) AS winner_id
+    FROM mapping
+    """,
+)
+def entity_consolidation_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-entity consolidation mapping (W2 winner selection,
+    /root/reference/src/core/logic/person_consolidator.py:74-102):
+    groups = parts sharing a canonical name, winner = highest retail
+    price then lowest id, one output row per loser."""
+    from horizon_etl_spark.cdc.consolidate import consolidation_mapping
+
+    m = consolidation_mapping(
+        _part_entities(spark, sf_dir), id_col="id", name_col="name", quality_col="q"
+    )
+    return m.select(
+        "canonical_name",
+        F.col("loser_id").cast("long").alias("loser_id"),
+        F.col("winner_id").cast("long").alias("winner_id"),
+    )
+
+
+@register(
+    "entity_consolidation_refs",
+    oracle=f"""
+    WITH {_MAPPING_CTE}
+    SELECT CAST(coalesce(m.winner_id, l.l_partkey) AS BIGINT) AS owner_id,
+           CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM lineitem l LEFT JOIN mapping m ON l.l_partkey = m.loser_id
+    GROUP BY 1
+    """,
+)
+def entity_consolidation_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-consolidation reference ownership: every lineitem reference
+    to a loser is rewritten to its winner
+    (person_consolidator.py:240-264 FK rewrite), then references are
+    counted per surviving owner."""
+    from horizon_etl_spark.cdc.consolidate import consolidation_mapping
+
+    m = consolidation_mapping(
+        _part_entities(spark, sf_dir), id_col="id", name_col="name", quality_col="q"
+    ).select("loser_id", "winner_id")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(m), l.l_partkey == m.loser_id, "left")
+        .select(
+            F.coalesce(F.col("winner_id"), F.col("l_partkey"))
+            .cast("long")
+            .alias("owner_id")
+        )
+        .groupBy("owner_id")
+        .agg(F.count(F.lit(1)).alias("n_refs"))
+    )

@@ -1,0 +1,147 @@
+"""Consolidation transaction: winner keeps identity, losers tombstoned,
+references rewritten, lineage recorded; idempotent under re-run and
+crash-between-commits."""
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from horizon_etl_spark.cdc.consolidate import consolidate, consolidation_mapping
+from horizon_etl_spark.tables.lake import LakeTable
+
+ENTITIES = [
+    # (id, name, quality, ident)  — 'ana maria' dup group, 'joao' homonym conflict
+    (1, "Ana Maria", 10, "id-A"),
+    (2, "ana  maria", 50, None),      # winner of group (higher quality)
+    (3, "ANA MARIA", 50, "id-A"),     # same quality as 2 → higher id loses
+    (4, "joao", 10, "cpf-1"),
+    (5, "joao", 90, "cpf-2"),         # conflicting idents → group skipped
+    (6, "unique person", 1, None),
+]
+
+REFS = [(100, 1), (101, 2), (102, 3), (103, 4), (104, 6)]  # (ref_id, entity_id)
+
+
+def build(spark, tmp_table_dir):
+    ent = LakeTable.create(
+        os.path.join(tmp_table_dir, "entities"),
+        StructType(
+            [
+                StructField("id", LongType(), False),
+                StructField("name", StringType(), True),
+                StructField("quality", LongType(), True),
+                StructField("ident", StringType(), True),
+            ]
+        ),
+        key_col="id",
+        bucket_count=4,
+    )
+    ent.merge(
+        spark.createDataFrame(
+            [("insert", i, i, n, q, d) for i, n, q, d in ENTITIES],
+            "op string, id long, lsn long, name string, quality long, ident string",
+        )
+    )
+    refs = LakeTable.create(
+        os.path.join(tmp_table_dir, "refs"),
+        StructType(
+            [
+                StructField("ref_id", LongType(), False),
+                StructField("entity_id", LongType(), True),
+            ]
+        ),
+        key_col="ref_id",
+        bucket_count=4,
+    )
+    refs.merge(
+        spark.createDataFrame(
+            [("insert", r, r, e) for r, e in REFS],
+            "op string, ref_id long, lsn long, entity_id long",
+        )
+    )
+    lineage = LakeTable.create(
+        os.path.join(tmp_table_dir, "lineage"),
+        StructType(
+            [
+                StructField("canonical_name", StringType(), True),
+                StructField("winner_id", LongType(), True),
+                StructField("loser_id", LongType(), True),
+                StructField("lsn", LongType(), True),
+            ]
+        ),
+    )
+    return ent, refs, lineage
+
+
+def test_mapping_winner_and_homonym_guard(spark, tmp_table_dir):
+    ent, _, _ = build(spark, tmp_table_dir)
+    m = {
+        r["loser_id"]: r["winner_id"]
+        for r in consolidation_mapping(
+            ent.read(spark), id_col="id", name_col="name",
+            quality_col="quality", conflict_col="ident",
+        ).collect()
+    }
+    # winner = quality 50, lowest id 2; losers 1 and 3; joao group skipped
+    assert m == {1: 2, 3: 2}
+
+
+def test_consolidate_transaction(spark, tmp_table_dir):
+    ent, refs, lineage = build(spark, tmp_table_dir)
+    mapping = consolidation_mapping(
+        ent.read(spark), id_col="id", name_col="name",
+        quality_col="quality", conflict_col="ident",
+    )
+    stats = consolidate(ent, mapping, lsn=1000, refs_table=refs,
+                        ref_col="entity_id", lineage=lineage)
+    assert stats == {"merges": 2, "refs_rewritten": 2, "losers_deleted": 2}
+
+    alive = {r["id"] for r in ent.read(spark).collect()}
+    assert alive == {2, 4, 5, 6}
+    owners = {r["ref_id"]: r["entity_id"] for r in refs.read(spark).collect()}
+    assert owners == {100: 2, 101: 2, 102: 2, 103: 4, 104: 6}
+    lin = {(r["loser_id"], r["winner_id"]) for r in lineage.read(spark).collect()}
+    assert lin == {(1, 2), (3, 2)}
+
+    # idempotent re-run with the same mapping + lsn: no-op
+    stats2 = consolidate(ent, mapping, lsn=1000, refs_table=refs, ref_col="entity_id")
+    assert stats2["refs_rewritten"] == 0 and stats2["losers_deleted"] == 0
+
+
+def test_crash_between_rewrite_and_tombstone_converges(spark, tmp_table_dir):
+    """Simulated crash: references were rewritten but losers were not
+    tombstoned (the non-atomic window).  Re-running the whole
+    transaction converges to the same final state because the mapping
+    is a pure function of the surviving entities."""
+    ent, refs, lineage = build(spark, tmp_table_dir)
+    mapping = consolidation_mapping(
+        ent.read(spark), id_col="id", name_col="name",
+        quality_col="quality", conflict_col="ident",
+    ).persist()
+    # phase 1 only: rewrite refs (crash before the tombstone merge)
+    rewritten = (
+        refs.read(spark)
+        .join(F.broadcast(mapping.select("loser_id", "winner_id")),
+              F.col("entity_id") == F.col("loser_id"))
+        .withColumn("entity_id", F.col("winner_id"))
+        .select(F.lit("update").alias("op"), F.lit(999).cast("long").alias("lsn"),
+                "ref_id", "entity_id")
+    )
+    refs.merge(rewritten)
+    # full re-run after restart
+    mapping2 = consolidation_mapping(
+        ent.read(spark), id_col="id", name_col="name",
+        quality_col="quality", conflict_col="ident",
+    )
+    consolidate(ent, mapping2, lsn=1000, refs_table=refs,
+                ref_col="entity_id", lineage=lineage)
+    alive = {r["id"] for r in ent.read(spark).collect()}
+    assert alive == {2, 4, 5, 6}
+    owners = {r["ref_id"]: r["entity_id"] for r in refs.read(spark).collect()}
+    assert owners == {100: 2, 101: 2, 102: 2, 103: 4, 104: 6}

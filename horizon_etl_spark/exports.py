@@ -1,0 +1,122 @@
+"""Export jobs — the read-path artifacts the reference ships: a
+denormalized JSON export plus a zstd-Parquet mirror with column
+sidecars, written atomically.
+
+Reference semantics reproduced:
+  * exporters read canonical state, scrub PII, serialize, and write
+    ATOMICALLY (temp + fsync + rename)
+    (/root/reference/src/core/logic/canonical_exporter.py:2003-2056;
+    /root/reference/src/core/logic/atomic_io.py:16-41);
+  * the Parquet mirror uses zstd compression and writes a
+    ``.cols.json`` column sidecar per table
+    (/root/reference/src/scripts/export_parquet.py:31-80);
+  * PII scrubbing is an always-on projection hook applied before any
+    sink (/root/reference/src/core/logic/pii_session_hook.py:21-44).
+
+Spark shape: one DataFrame job per export; atomicity via the staging-
+directory + atomic-rename pattern (the distributed analogue of the
+reference's temp-file rename — Spark tasks write into the staging dir,
+the driver renames it into place only after everything, including the
+manifest, is durable).  The export pins the source table VERSION
+(snapshot isolation): concurrent merges never tear an export."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from horizon_etl_spark.tables.lake import LakeTable
+
+
+def export_table(
+    spark: SparkSession,
+    table: LakeTable,
+    out_dir: str,
+    name: str,
+    formats: tuple[str, ...] = ("json", "parquet"),
+    scrub: Callable[[DataFrame], DataFrame] | None = None,
+    version: int | None = None,
+    sort_by: str | None = None,
+) -> dict:
+    """Write one export artifact set for ``table`` under
+    ``out_dir/<name>``: JSONL (``json/``), zstd Parquet (``parquet/``),
+    a ``<name>.cols.json`` column sidecar, and a ``manifest.json``
+    recording the exported source version and row count.
+
+    The artifact directory appears atomically: everything is staged in
+    ``out_dir/.stage-<uuid>`` and renamed into place; a crash leaves
+    only a stage dir (cleaned by the next run), never a torn export.
+    Re-exporting replaces the previous artifact atomically.
+
+    ``sort_by``: deterministic file ordering for stable diffs (O1,
+    canonical_exporter.py:989 ORDER BY id) — sorted WITHIN partitions
+    (cheap) since the equality contract is order-insensitive.
+    """
+    v = table.current_version() if version is None else version
+    df = table.read(spark, version=v)
+    if scrub is not None:
+        df = scrub(df)
+    if sort_by is not None:
+        df = df.sortWithinPartitions(sort_by)
+
+    os.makedirs(out_dir, exist_ok=True)
+    # GC stage dirs abandoned by crashed exporters
+    for d in os.listdir(out_dir):
+        if d.startswith(".stage-"):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+
+    stage = os.path.join(out_dir, f".stage-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    n_rows = None
+    try:
+        if "parquet" in formats:
+            df.write.option("compression", "zstd").parquet(os.path.join(stage, "parquet"))
+        if "json" in formats:
+            df.write.option("compression", "gzip").json(os.path.join(stage, "json"))
+        # column sidecar (export_parquet.py .cols.json)
+        cols = [
+            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in df.schema.fields
+        ]
+        with open(os.path.join(stage, f"{name}.cols.json"), "w") as fh:
+            json.dump(cols, fh, indent=2)
+        n_rows = spark.read.parquet(os.path.join(stage, "parquet")).count() if "parquet" in formats else df.count()
+        manifest = {
+            "name": name,
+            "source_path": table.path,
+            "source_version": v,
+            "formats": sorted(formats),
+            "n_rows": n_rows,
+            "columns": [c["name"] for c in cols],
+        }
+        mpath = os.path.join(stage, "manifest.json")
+        with open(mpath, "w") as fh:
+            json.dump(manifest, fh, indent=2)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    final = os.path.join(out_dir, name)
+    old = final + f".old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(final):
+        os.rename(final, old)
+    os.rename(stage, final)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"path": final, "version": v, "n_rows": n_rows}
+
+
+def read_export(spark: SparkSession, out_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
+    path = os.path.join(out_dir, name, fmt)
+    return spark.read.parquet(path) if fmt == "parquet" else spark.read.json(path)
+
+
+def export_manifest(out_dir: str, name: str) -> dict:
+    with open(os.path.join(out_dir, name, "manifest.json")) as fh:
+        return json.load(fh)

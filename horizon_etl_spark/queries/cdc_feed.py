@@ -295,6 +295,54 @@ def events_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nested_json_explode",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS order_id,
+           CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT) AS n_items,
+           CAST(l_linenumber AS BIGINT) AS line,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty,
+           CAST(l_partkey AS BIGINT) AS part
+    FROM lineitem
+    """,
+)
+def nested_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep nested-JSON extraction (S3): one JSON document per order —
+    struct { order, summary { n_items }, items: [ { line, qty, part } ] }
+    — is built from lineitem, then parsed back with ``from_json`` under
+    an explicit nested schema and EXPLODEd into typed child rows plus a
+    summary field, mirroring the reference's nested-doc → typed record
+    lists parse (/root/reference/src/adapters/sources/lattes_parser.py:41-602).
+    The oracle derives the expected child rows directly from the clean
+    source columns, so the whole serialize→parse→explode round trip is
+    checked against ground truth."""
+    l = table(spark, sf_dir, "lineitem")
+    item = F.struct(
+        F.col("l_linenumber").cast("long").alias("line"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long").alias("qty"),
+        F.col("l_partkey").cast("long").alias("part"),
+    )
+    docs = l.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.to_json(
+            F.struct(
+                F.col("okey").alias("order"),
+                F.struct(F.count(F.lit(1)).alias("n_items")).alias("summary"),
+                F.sort_array(F.collect_list(item)).alias("items"),
+            )
+        ).alias("js")
+    )
+    schema = (
+        "order BIGINT, summary STRUCT<n_items: BIGINT>, "
+        "items ARRAY<STRUCT<line: BIGINT, qty: BIGINT, part: BIGINT>>"
+    )
+    parsed = docs.select(F.from_json(F.col("js"), schema).alias("doc"))
+    return parsed.select(
+        F.col("doc.order").alias("order_id"),
+        F.col("doc.summary.n_items").alias("n_items"),
+        F.explode("doc.items").alias("item"),
+    ).select("order_id", "n_items", "item.line", "item.qty", "item.part")
+
+
+@register(
     "props_json_extract",
     oracle="""
     SELECT event_type,

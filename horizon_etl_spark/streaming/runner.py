@@ -35,6 +35,7 @@ def run_stream(
     persist_source: bool = False,
     feed_format: str = "parquet",
     feed_schema=None,
+    batch_hook=None,
 ):
     """Start (and by default drain) a file-source stream over change-event
     files dropped into ``input_dir`` (``feed_format``: parquet for
@@ -101,6 +102,8 @@ def run_stream(
         feed = reader.parquet(input_dir)
 
     def _apply(df, batch_id: int):
+        if batch_hook is not None:
+            batch_hook(df, batch_id)
         apply_batch(
             pipe,
             df,
@@ -121,3 +124,41 @@ def run_stream(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def run_stream_with_retry(
+    spark: SparkSession,
+    pipe: CdcPipeline,
+    input_dir: str,
+    checkpoint_dir: str,
+    max_retries: int = 3,
+    backoff_base_s: float = 1.0,
+    backoff_factor: float = 2.0,
+    sleep_fn=None,
+    **kwargs,
+):
+    """Bounded retry with exponential backoff around the stream (T8:
+    the reference's 429 backoff ×3,
+    /root/reference/src/adapters/sources/sigpesq/adapter.py:98-136).
+
+    Spark task retries cover transient EXECUTOR failures; this wrapper
+    covers failures that kill the whole query (source outage, driver
+    exception escaping foreachBatch).  Each retry restarts from the
+    CHECKPOINT, so every micro-batch committed before the failure stays
+    committed and the failed one is redelivered — combined with the
+    kernel's idempotent MERGE this keeps exactly-once across retries.
+    After ``max_retries`` failed restarts the last error propagates
+    (crash containment: the orchestrator decides, reference
+    weekly_orchestrator.py:1-40)."""
+    import time
+
+    sleep = sleep_fn or time.sleep
+    attempt = 0
+    while True:
+        try:
+            return run_stream(spark, pipe, input_dir, checkpoint_dir, **kwargs)
+        except Exception:
+            attempt += 1
+            if attempt > max_retries:
+                raise
+            sleep(backoff_base_s * backoff_factor ** (attempt - 1))

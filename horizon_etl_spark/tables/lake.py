@@ -101,6 +101,36 @@ def bucket_expr(key_col: str, bucket_count: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(bucket_count)).cast("int")
 
 
+# Default sizing target: a bucket is one merge-write task and one unit
+# of copy-on-write amplification.  ~4M rows/bucket keeps a bucket's
+# file set in one executor's working memory at ~100-byte rows while
+# bounding the file count; ops can override per table via the
+# 'target_rows_per_bucket' prop.
+DEFAULT_TARGET_ROWS_PER_BUCKET = 4_000_000
+
+
+def recommended_bucket_count(
+    total_rows: int, target_rows_per_bucket: int = DEFAULT_TARGET_ROWS_PER_BUCKET
+) -> int:
+    """Power-of-two bucket count keeping rows/bucket under target,
+    clamped to [4, 2^14] (the lake.py scale prescription: 2^12-2^14 at
+    production scale)."""
+    import math
+
+    need = max(1, -(-max(0, total_rows) // target_rows_per_bucket))
+    return min(16384, max(4, 1 << math.ceil(math.log2(need))))
+
+
+def _distinct_bucket_rows(files: list["FileEntry"]) -> int:
+    """Approximate table rows from file entries: FileEntry.rows is the
+    BUCKET-level count per commit (repeated on each file of that
+    bucket+commit), so sum it once per (commit_dir, bucket)."""
+    seen: dict[tuple[str, int], int] = {}
+    for f in files:
+        seen[(os.path.dirname(f.path), f.bucket)] = f.rows
+    return sum(r for r in seen.values() if r and r > 0)
+
+
 class LakeTable:
     """One table rooted at a local/posix ``path`` (on a cluster: DFS path)."""
 
@@ -259,10 +289,14 @@ class LakeTable:
         return df.select(*cols)
 
     # ---------------------------------------------------------------- append
-    def append(self, df: DataFrame, operation: str = "append") -> int:
+    def append(
+        self, df: DataFrame, operation: str = "append", props: dict[str, Any] | None = None
+    ) -> int:
         """Blind append (no key semantics) — used by lineage/metrics/log
         tables, mirroring the reference's append-only tracking tables
-        (/root/reference/src/tracking/entities/entity_change_log.py:8-42)."""
+        (/root/reference/src/tracking/entities/entity_change_log.py:8-42).
+        ``props`` entries are merged into the snapshot props (e.g. the
+        change-log batch high-watermark that makes appends idempotent)."""
         snap = self.snapshot()
         version = snap["version"] + 1
         schema = StructType.fromJson(snap["schema"])
@@ -276,6 +310,7 @@ class LakeTable:
                 "version": version,
                 "parent": snap["version"],
                 "files": [f.to_json() for f in files],
+                "props": {**snap.get("props", {}), **(props or {})},
                 "operation": operation,
                 "summary": {"appended_files": len(new_files)},
             },
@@ -547,7 +582,20 @@ class LakeTable:
             for k2, v2 in change_log_extra.items():
                 change_log = change_log.withColumn(k2, F.lit(v2))
         if change_log_sink is not None:
-            change_log_sink.append(change_log, operation="change_log")
+            # Idempotent per batch: the append precedes this merge's
+            # snapshot commit, so on a crash between the two the
+            # redelivered batch re-derives IDENTICAL images (the merge
+            # never committed); the batch-id high-watermark in the
+            # sink's props then skips the duplicate append.  Batch ids
+            # must be monotonic (foreachBatch guarantees this).
+            batch_id = (change_log_extra or {}).get("batch_id")
+            last = change_log_sink.props.get("last_batch_id") if batch_id is not None else None
+            if batch_id is None or last is None or batch_id > last:
+                change_log_sink.append(
+                    change_log,
+                    operation="change_log",
+                    props={"last_batch_id": batch_id} if batch_id is not None else None,
+                )
 
         stats_row = (
             j.agg(
@@ -562,6 +610,30 @@ class LakeTable:
         ).collect()[0]
         j.unpersist()
 
+        summary = {
+            "batch_rows": int(stats_row["batch_rows"] or 0),
+            "inserted": int(stats_row["inserted"] or 0),
+            "updated": int(stats_row["updated"] or 0),
+            "deleted": int(stats_row["deleted"] or 0),
+            "skipped_stale": int(stats_row["skipped_stale"] or 0),
+            "rewritten_files": len(rewrite_files),
+            "carried_files": len(carry_files),
+        }
+        # bucket-count policy check (the lake.py scale prescription is
+        # enforced here, not just promised): when rows/bucket exceeds
+        # the table's target, the snapshot records the recommendation —
+        # the operator schedules rebucket() (an O(table) rewrite) off
+        # the hot path.
+        target_rpb = int(
+            snap.get("props", {}).get(
+                "target_rows_per_bucket", DEFAULT_TARGET_ROWS_PER_BUCKET
+            )
+        )
+        est_rows = _distinct_bucket_rows(files)
+        if est_rows > nb * target_rpb:
+            summary["rebucket_recommended"] = recommended_bucket_count(
+                est_rows, target_rpb
+            )
         self._commit(
             version,
             {
@@ -570,15 +642,7 @@ class LakeTable:
                 "parent": snap["version"],
                 "files": [f.to_json() for f in files],
                 "operation": "merge",
-                "summary": {
-                    "batch_rows": int(stats_row["batch_rows"] or 0),
-                    "inserted": int(stats_row["inserted"] or 0),
-                    "updated": int(stats_row["updated"] or 0),
-                    "deleted": int(stats_row["deleted"] or 0),
-                    "skipped_stale": int(stats_row["skipped_stale"] or 0),
-                    "rewritten_files": len(rewrite_files),
-                    "carried_files": len(carry_files),
-                },
+                "summary": summary,
             },
         )
         return {
@@ -924,6 +988,39 @@ class LakeTable:
             "removed_files": removed_files,
             "retained_versions": retained,
         }
+
+    def rebucket(self, spark: SparkSession, new_bucket_count: int) -> int:
+        """Rewrite the table into ``new_bucket_count`` hash buckets in
+        ONE atomic commit (data files + the new bucket_count land in the
+        same snapshot, so per-file bucket/min-max pruning is never
+        inconsistent with the layout).  This is the rebucket path the
+        merge-time policy check points at; like Iceberg's
+        rewrite_data_files after a partition-spec change, it's an
+        O(table) job the operator schedules, never an implicit side
+        effect of a merge."""
+        snap = self.snapshot()
+        key = snap["key_col"]
+        assert key is not None, "rebucket requires a keyed table"
+        schema = StructType.fromJson(snap["schema"])
+        df = self.read(spark, include_meta=True).withColumn(
+            BUCKET_COL, bucket_expr(key, new_bucket_count)
+        )
+        version = snap["version"] + 1
+        ordered = [f.name for f in schema.fields]
+        new_files = self._write_data(df.select(BUCKET_COL, *ordered), version, bucketed=True)
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "bucket_count": new_bucket_count,
+                "files": [f.to_json() for f in new_files],
+                "operation": "rebucket",
+                "summary": {"from_buckets": snap["bucket_count"], "to_buckets": new_bucket_count},
+            },
+        )
+        return version
 
     def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> int:
         """Rewrite the table into one file-set per bucket; optionally GC

@@ -183,6 +183,59 @@ def test_vacuum_expires_snapshots_and_orphans(spark, tmp_table_dir):
     assert t.read(spark).filter(F.col("doc_id") == "d0").first()["tokens"] == [9, 9]
 
 
+def test_recommended_bucket_count_policy():
+    from horizon_etl_spark.tables.lake import recommended_bucket_count
+
+    assert recommended_bucket_count(0) == 4
+    assert recommended_bucket_count(3_999_999) == 4
+    assert recommended_bucket_count(5 * 4_000_000) == 8  # next pow2 >= 5
+    assert recommended_bucket_count(10**12) == 16384  # clamped at 2^14
+    assert recommended_bucket_count(100, target_rows_per_bucket=10) == 16
+
+
+def test_merge_write_parallelism_follows_bucket_count(spark, tmp_table_dir):
+    """Merge output is partitioned by the hash bucket: the commit's
+    distinct bucket dirs — i.e. the table's merge write parallelism —
+    equals bucket_count once keys cover every bucket."""
+    rows = [("insert", f"k{i:04d}", i, [i], "wiki") for i in range(400)]
+    seen = {}
+    for bc in (4, 16):
+        t = LakeTable.create(
+            os.path.join(tmp_table_dir, f"t{bc}"), SCHEMA, key_col="doc_id", bucket_count=bc
+        )
+        t.merge(batch_df(spark, rows))
+        buckets = {f["bucket"] for f in t.snapshot()["files"]}
+        seen[bc] = len(buckets)
+    assert seen == {4: 4, 16: 16}
+
+
+def test_merge_records_rebucket_recommendation(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4,
+        props={"target_rows_per_bucket": 10},
+    )
+    t.merge(batch_df(spark, [("insert", f"k{i}", i, [i], "wiki") for i in range(200)]))
+    rec = t.snapshot()["summary"].get("rebucket_recommended")
+    assert rec and rec > 4  # 200 rows at 10/bucket → wants 32
+
+
+def test_rebucket_preserves_data_and_prunes_correctly(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4
+    )
+    t.merge(batch_df(spark, [("insert", f"k{i:04d}", i, [i], "wiki") for i in range(200)]))
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    t.rebucket(spark, 16)
+    assert t.bucket_count == 16
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    assert len({f["bucket"] for f in t.snapshot()["files"]}) == 16
+    # single-key merge under the new layout prunes to a subset of files
+    s = t.merge(batch_df(spark, [("update", "k0000", 1000, [42], "wiki")]))
+    assert s["carried_files"] > s["rewritten_files"]
+    assert t.read(spark).filter(F.col("doc_id") == "k0000").first()["tokens"] == [42]
+    assert t.read(spark).count() == 200
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
     """Optimistic concurrency: every operation re-reads the latest
     snapshot (sequential writers serialize), so a conflict only exists

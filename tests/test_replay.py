@@ -95,6 +95,22 @@ def test_quarantine_and_reconciliation(spark, tmp_table_dir):
     )
 
 
+def test_change_log_append_idempotent_on_redelivery(spark, tmp_table_dir):
+    """A redelivered batch (crash/retry) must not duplicate or pollute
+    the change log: the batch-id high-watermark in the sink's props
+    skips the second append entirely."""
+    feed = _feed(spark, 2)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    b0 = feed.filter(F.col("batch") == 0).drop("batch")
+    b1 = feed.filter(F.col("batch") == 1).drop("batch")
+    apply_batch(pipe, b0, batch_id=0)
+    apply_batch(pipe, b1, batch_id=1)
+    before = pipe.change_log.read(spark).count()
+    apply_batch(pipe, b1, batch_id=1)  # redelivery
+    assert pipe.change_log.read(spark).count() == before
+    assert pipe.change_log.props["last_batch_id"] == 1
+
+
 def test_lineage_tables_written(spark, tmp_table_dir):
     feed = _feed(spark, 2)
     pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)

@@ -118,6 +118,55 @@ def test_stream_csv_flat_file_drops(spark, tmp_table_dir):
     assert_frames_equal(pipe.target.read(spark), expected_final(feed))
 
 
+def test_stream_retry_backoff_recovers_transient_failure(spark, tmp_table_dir):
+    """T8: a transient failure that kills the stream mid-batch is
+    retried with backoff from the checkpoint; committed batches are not
+    redone and the final state still equals the oracle.  Exhausted
+    retries propagate the error."""
+    import pytest
+
+    from horizon_etl_spark.streaming.runner import run_stream_with_retry
+
+    feed = change_feed(spark, 2000, 100, seed=31, num_batches=3, min_len=2, max_len=8)
+    src = os.path.join(tmp_table_dir, "feed")
+    _write_feed_files(feed, src)
+
+    fails = {"left": 2}
+    sleeps = []
+
+    def flaky_hook(df, batch_id):
+        if batch_id == 1 and fails["left"] > 0:
+            fails["left"] -= 1
+            raise RuntimeError("simulated transient source failure")
+
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream_with_retry(
+        spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"),
+        max_retries=3, backoff_base_s=0.1, sleep_fn=sleeps.append,
+        max_files_per_trigger=1, batch_hook=flaky_hook,
+    )
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+    assert sleeps == [0.1, 0.2]  # exponential backoff, one per retry
+    # batch 0 committed once despite two stream restarts
+    runs = pipe.runs.read(spark)
+    assert runs.filter((F.col("batch_id") == 0) & (F.col("status") == "success")).count() == 1
+
+    # retries exhausted → error propagates
+    always = {"left": 99}
+
+    def dead_hook(df, batch_id):
+        always["left"] -= 1
+        raise RuntimeError("permanent failure")
+
+    pipe2 = CdcPipeline.create(os.path.join(tmp_table_dir, "p2"), bucket_count=8)
+    with pytest.raises(Exception):
+        run_stream_with_retry(
+            spark, pipe2, src, os.path.join(tmp_table_dir, "ckpt2"),
+            max_retries=1, backoff_base_s=0.0, sleep_fn=sleeps.append,
+            batch_hook=dead_hook,
+        )
+
+
 def test_stream_csv_honors_evolved_feed_schema(spark, tmp_table_dir):
     """The CSV wire schema is derived from ``feed_schema`` (array<int>
     columns become <name>_txt at the same position), so the documented

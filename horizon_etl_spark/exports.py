@@ -112,6 +112,44 @@ def export_table(
     return {"path": final, "version": v, "n_rows": n_rows}
 
 
+def export_filtered_views(
+    spark: SparkSession,
+    table: LakeTable,
+    out_dir: str,
+    base_name: str,
+    column: str,
+    values: list,
+    **kwargs,
+) -> dict:
+    """P7 classification-filter views: one export artifact per
+    classification value (the reference ships 4 filtered exports by
+    ``classification``, /root/reference/src/core/logic/
+    canonical_exporter.py:378-392,65-70).  Every view pins the SAME
+    source version, so the view set is a consistent partition of one
+    snapshot even while merges land concurrently."""
+    from pyspark.sql import functions as F
+
+    v = table.current_version()
+    scrub = kwargs.pop("scrub", None)
+    results = {}
+    for val in values:
+
+        def view_filter(df, _val=val, _scrub=scrub):
+            out = df.filter(F.col(column) == _val)
+            return _scrub(out) if _scrub is not None else out
+
+        results[val] = export_table(
+            spark,
+            table,
+            out_dir,
+            f"{base_name}_{val}",
+            scrub=view_filter,
+            version=v,
+            **kwargs,
+        )
+    return results
+
+
 def read_export(spark: SparkSession, out_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
     path = os.path.join(out_dir, name, fmt)
     return spark.read.parquet(path) if fmt == "parquet" else spark.read.json(path)

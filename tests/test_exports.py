@@ -39,6 +39,29 @@ def test_export_round_trips_table_state(spark, tmp_table_dir):
     assert [c["name"] for c in sidecar] == state.columns
 
 
+def test_filtered_views_partition_one_snapshot(spark, tmp_table_dir):
+    """P7: per-classification view exports are a consistent partition
+    of a single pinned snapshot."""
+    from horizon_etl_spark.exports import export_filtered_views
+
+    feed = change_feed(spark, 1500, 120, seed=23, num_batches=1, max_len=8)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    replay(pipe, feed)
+    out = os.path.join(tmp_table_dir, "exports")
+    sources = [r["source"] for r in pipe.target.read(spark).select("source").distinct().collect()]
+
+    res = export_filtered_views(
+        spark, pipe.target, out, "by_source", "source", sources, formats=("parquet",)
+    )
+    assert set(res) == set(sources)
+    total = 0
+    for s in sources:
+        df = read_export(spark, out, f"by_source_{s}", "parquet")
+        assert df.filter(F.col("source") != s).count() == 0
+        total += df.count()
+    assert total == pipe.target.read(spark).count()
+
+
 def test_export_scrub_hook_and_atomic_replace(spark, tmp_table_dir):
     feed = change_feed(spark, 1000, 80, seed=22, num_batches=1, max_len=8)
     pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)

@@ -224,6 +224,67 @@ def currency_comma_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- F17
+def coerce_text(col: F.Column) -> F.Column:
+    """Nested-value → plain-text coercion (F17): heterogeneous crawler
+    payloads arrive as a plain string, a dict with one of the preferred
+    text keys, or a list of fragments
+    (/root/reference/src/core/logic/strategies/cnpq_sync.py:85-109).
+    Dict → first non-null of descricao/texto/value; list → fragments
+    joined with newlines; else the trimmed string itself."""
+    is_obj = F.trim(col).startswith("{")
+    is_arr = F.trim(col).startswith("[")
+    obj_text = F.coalesce(
+        F.get_json_object(col, "$.descricao"),
+        F.get_json_object(col, "$.texto"),
+        F.get_json_object(col, "$.value"),
+    )
+    arr_text = F.array_join(F.from_json(col, "array<string>"), "\n")
+    return (
+        F.when(is_obj, obj_text).when(is_arr, arr_text).otherwise(F.trim(col))
+    )
+
+
+@register(
+    "nested_text_coercion",
+    oracle="""
+    SELECT o_orderkey,
+           CASE
+             WHEN raw LIKE '{%' THEN coalesce(
+               json_extract_string(raw, '$.descricao'),
+               json_extract_string(raw, '$.texto'),
+               json_extract_string(raw, '$.value'))
+             WHEN raw LIKE '[%' THEN
+               list_aggregate(CAST(raw::JSON AS VARCHAR[]), 'string_agg', chr(10))
+             ELSE trim(raw)
+           END AS coerced
+    FROM (
+      SELECT o_orderkey,
+             CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN 'plain ' || o_orderpriority
+               WHEN 1 THEN '{"descricao": "' || o_orderpriority || '"}'
+               WHEN 2 THEN '{"ignored": 1, "texto": "' || o_orderpriority || '"}'
+               ELSE '["' || o_orderpriority || '", "extra line"]'
+             END AS raw
+      FROM orders
+    )
+    """,
+)
+def nested_text_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    m = (F.col("o_orderkey") % 4).cast("int")
+    p = F.col("o_orderpriority")
+    raw = (
+        F.when(m == 0, F.concat(F.lit("plain "), p))
+        .when(m == 1, F.concat(F.lit('{"descricao": "'), p, F.lit('"}')))
+        .when(m == 2, F.concat(F.lit('{"ignored": 1, "texto": "'), p, F.lit('"}')))
+        .otherwise(F.concat(F.lit('["'), p, F.lit('", "extra line"]')))
+    )
+    return o.select("o_orderkey", raw.alias("raw")).select(
+        "o_orderkey", coerce_text(F.col("raw")).alias("coerced")
+    )
+
+
 # ----------------------------------------------------------------- F12
 BOOL_FALSE = ("", "0", "false", "f", "nao", "não", "n", "no")
 BOOL_TRUE = ("1", "true", "t", "sim", "s", "yes", "y")

@@ -47,7 +47,7 @@ class CdcPipeline:
     rollup: LakeTable
 
     @classmethod
-    def create(cls, root: str, bucket_count: int = 16) -> "CdcPipeline":
+    def create(cls, root: str, bucket_count: int = 16, attr_lww: bool = False) -> "CdcPipeline":
         return cls(
             root=root,
             target=LakeTable.create(
@@ -55,8 +55,12 @@ class CdcPipeline:
                 S.TARGET_SCHEMA,
                 key_col="doc_id",
                 bucket_count=bucket_count,
+                attr_lww=attr_lww,
             ),
-            quarantine=LakeTable.create(os.path.join(root, "quarantine"), S.QUARANTINE_SCHEMA),
+            quarantine=LakeTable.create(
+                os.path.join(root, "quarantine"),
+                S.ATTR_QUARANTINE_SCHEMA if attr_lww else S.QUARANTINE_SCHEMA,
+            ),
             runs=LakeTable.create(os.path.join(root, "runs"), S.RUNS_SCHEMA),
             metrics=LakeTable.create(os.path.join(root, "metrics"), S.METRICS_SCHEMA),
             change_log=LakeTable.create(os.path.join(root, "change_log"), S.CHANGE_LOG_SCHEMA),
@@ -119,11 +123,19 @@ def apply_batch(
     quarantine pass and the LWW pass.  Off for cheap columnar feeds
     (parquet re-scan beats a cache round-trip); ON for expensive
     decodes (JSON/Avro WAL tails), where it halves the dominant parse
-    cost."""
+    cost.
+
+    Per-attribute mode is inferred from the target table: an
+    ``attr_lww`` target routes the batch through ``attr_lww_reduce`` →
+    ``merge_attrs`` (partial-update events with a ``fields`` column;
+    validation gates payload rules on asserted columns).  Rollup and
+    change-log lineage are whole-row-merge features and are skipped in
+    attr mode."""
     from pyspark.sql import Observation
 
     started = _now()
     spark = batch.sparkSession
+    attr_mode = bool(pipe.target.snapshot().get("attr_lww"))
     if "batch" in batch.columns:
         batch = batch.drop("batch")
 
@@ -139,7 +151,7 @@ def apply_batch(
     # Everything downstream (metrics, MERGE, rollup, stats) reads only
     # `winners` / the target — never the raw feed again.
     obs = Observation(f"apply_batch_{batch_id}")
-    reason = _reason()
+    reason = _reason("fields" if attr_mode and "fields" in batch.columns else None)
     tagged = batch.withColumn("_reason", reason).observe(
         obs,
         F.count(F.lit(1)).alias("input_rows"),
@@ -168,27 +180,36 @@ def apply_batch(
             valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
         else:
             valid = batch.filter(reason.isNull())
-        if salted_lww == "auto":
-            salted_lww = _last_batch_was_skewed(pipe, spark)
-        reducer = lww_reduce_salted if salted_lww else lww_reduce
-        kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
-        winners = reducer(
-            valid.drop("ts"), key="doc_id", order="lsn", with_counts=True, **kwargs
-        ).persist()
+        if attr_mode:
+            from horizon_etl_spark.cdc.attrs import attr_lww_reduce
+
+            winners = attr_lww_reduce(valid.drop("ts"), with_counts=True).persist()
+        else:
+            if salted_lww == "auto":
+                salted_lww = _last_batch_was_skewed(pipe, spark)
+            reducer = lww_reduce_salted if salted_lww else lww_reduce
+            kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
+            winners = reducer(
+                valid.drop("ts"), key="doc_id", order="lsn", with_counts=True, **kwargs
+            ).persist()
 
         if collect_metrics:
             _write_bucket_metrics(pipe, winners, batch_id)
 
         pre_merge_version = pipe.target.current_version() if with_rollup else None
-        stats = pipe.target.merge(
-            winners.drop("_key_events"),
-            op_col="op",
-            lsn_col="lsn",
-            delete_op="delete",
-            change_log_sink=pipe.change_log if with_change_log else None,
-            change_log_extra={"batch_id": batch_id},
-        )
-        if with_rollup:
+        if attr_mode:
+            stats = pipe.target.merge_attrs(winners.drop("_key_events"))
+            stats["change_log"] = None
+        else:
+            stats = pipe.target.merge(
+                winners.drop("_key_events"),
+                op_col="op",
+                lsn_col="lsn",
+                delete_op="delete",
+                change_log_sink=pipe.change_log if with_change_log else None,
+                change_log_extra={"batch_id": batch_id},
+            )
+        if with_rollup and not attr_mode:
             # incremental derived-aggregate maintenance (A3 analogue:
             # the reference recomputes parent MIN/MAX rollups after each
             # ingest, project_loader.py:135-257; here the per-source
@@ -255,10 +276,10 @@ def apply_batch(
             winners.unpersist()
 
 
-def _reason():
+def _reason(fields_col: str | None = None):
     from horizon_etl_spark.cdc.validate import reason_column
 
-    return reason_column()
+    return reason_column(fields_col=fields_col)
 
 
 def _last_batch_was_skewed(pipe: CdcPipeline, spark: SparkSession) -> bool:

@@ -44,13 +44,16 @@ def attr_lww_reduce(
     fields_col: str = "fields",
     op_col: str = "op",
     delete_op: str = "delete",
+    with_counts: bool = False,
 ) -> DataFrame:
     """Collapse one batch to one row per key with per-attribute winners.
 
     Output: ``key``, each payload column's batch-winning value, its
     assertion lsn ``_alsn_<col>`` (null if the batch never asserted the
     column), and ``_del_lsn`` (the batch's max delete lsn, null if no
-    delete).  Feed straight into ``LakeTable.merge_attrs``.
+    delete).  ``with_counts`` adds ``_key_events`` (collapsed events
+    per key — the skew metric, free inside the same aggregation).
+    Feed straight into ``LakeTable.merge_attrs``.
     """
     reserved = {key, order, fields_col, op_col, "ts", "batch"}
     payload_cols = payload_cols or [c for c in df.columns if c not in reserved]
@@ -78,12 +81,15 @@ def attr_lww_reduce(
     aggs.append(
         F.max(F.when(F.col(op_col) == delete_op, F.col(order))).alias(DEL_LSN_COL)
     )
+    if with_counts:
+        aggs.append(F.count(F.lit(1)).alias("_key_events"))
     out = df.groupBy(key).agg(*aggs)
     return out.select(
         key,
         *[F.col(f"_w_{c}.v").alias(c) for c in payload_cols],
         *[F.col(f"_w_{c}.l").alias(alsn_col(c)) for c in payload_cols],
         DEL_LSN_COL,
+        *(["_key_events"] if with_counts else []),
     )
 
 

@@ -49,6 +49,20 @@ QUARANTINE_SCHEMA = StructType(
     + [StructField("reason", StringType(), True), StructField("batch_id", LongType(), True)]
 )
 
+# Per-attribute (partial-update) feeds carry `fields`: the payload
+# columns the event asserts (null = all, [] = none) — the columnar form
+# of the reference's attribute_assertion rows
+# (/root/reference/src/tracking/entities/attribute_assertion.py:8-44).
+ATTR_CHANGE_FEED_SCHEMA = StructType(
+    list(CHANGE_FEED_SCHEMA.fields)
+    + [StructField("fields", ArrayType(StringType()), True)]
+)
+
+ATTR_QUARANTINE_SCHEMA = StructType(
+    list(ATTR_CHANGE_FEED_SCHEMA.fields)
+    + [StructField("reason", StringType(), True), StructField("batch_id", LongType(), True)]
+)
+
 RUNS_SCHEMA = StructType(
     [
         StructField("batch_id", LongType(), True),

@@ -19,36 +19,53 @@ from horizon_etl_spark.cdc.schema import SOURCE_WHITELIST
 VALID_OPS = ("insert", "update", "delete")
 
 
-def _rules(whitelist: tuple[str, ...]) -> list[tuple[str, Column]]:
-    """Ordered (reason, violation-predicate) pairs; first hit wins."""
+def _rules(
+    whitelist: tuple[str, ...], fields_col: str | None = None
+) -> list[tuple[str, Column]]:
+    """Ordered (reason, violation-predicate) pairs; first hit wins.
+
+    With ``fields_col`` (per-attribute feeds), the payload-content
+    rules only apply when the event actually ASSERTS the column —
+    a partial update that doesn't carry tokens is not an
+    empty-tokens violation."""
     is_del = F.col("op") == "delete"
+
+    def asserts(c: str) -> Column:
+        if fields_col is None:
+            return F.lit(True)
+        return F.col(fields_col).isNull() | F.array_contains(F.col(fields_col), c)
+
     return [
         ("null_doc_id", F.col("doc_id").isNull() | (F.length("doc_id") == 0)),
         ("null_lsn", F.col("lsn").isNull()),
         ("bad_op", ~F.col("op").isin(*VALID_OPS) | F.col("op").isNull()),
-        ("empty_tokens", ~is_del & (F.col("tokens").isNull() | (F.size("tokens") == 0))),
-        ("n_tok_mismatch", ~is_del & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))),
-        ("bad_source", ~is_del & ~F.col("source").isin(*whitelist)),
+        ("empty_tokens", ~is_del & asserts("tokens") & (F.col("tokens").isNull() | (F.size("tokens") == 0))),
+        ("n_tok_mismatch", ~is_del & asserts("tokens") & asserts("n_tok") & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))),
+        ("bad_source", ~is_del & asserts("source") & ~F.col("source").isin(*whitelist)),
     ]
 
 
-def reason_column(whitelist: tuple[str, ...] = SOURCE_WHITELIST) -> Column:
+def reason_column(
+    whitelist: tuple[str, ...] = SOURCE_WHITELIST, fields_col: str | None = None
+) -> Column:
     """NULL when the row is valid, else the first violated rule name."""
     expr = F.lit(None).cast("string")
-    for name, pred in reversed(_rules(whitelist)):
+    for name, pred in reversed(_rules(whitelist, fields_col)):
         expr = F.when(pred, F.lit(name)).otherwise(expr)
     return expr
 
 
 def split_valid(
-    df: DataFrame, whitelist: tuple[str, ...] = SOURCE_WHITELIST
+    df: DataFrame,
+    whitelist: tuple[str, ...] = SOURCE_WHITELIST,
+    fields_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (valid, quarantined-with-reason).
 
     The reason column is computed once; the two outputs are the two
     sides of the same filter so Catalyst can reuse the scan.
     """
-    tagged = df.withColumn("reason", reason_column(whitelist))
+    tagged = df.withColumn("reason", reason_column(whitelist, fields_col))
     valid = tagged.filter(F.col("reason").isNull()).drop("reason")
     quarantined = tagged.filter(F.col("reason").isNotNull())
     return valid, quarantined

@@ -163,6 +163,61 @@ def test_random_feed_any_batching_converges(spark, tmp_table_dir):
         assert_matches_oracle(t, spark, rows)
 
 
+def test_attr_mode_stream_end_to_end(spark, tmp_table_dir):
+    """Full ingest path in attr mode: partial-update events streamed as
+    file drops through run_stream → validate/quarantine → attr reduce →
+    merge_attrs; final state equals the sequential fold oracle.  The
+    partial rows carry null tokens WITHOUT asserting them (must not
+    quarantine); one row asserts tokens but carries none (must)."""
+    from horizon_etl_spark.cdc.apply import CdcPipeline
+    from horizon_etl_spark.cdc.schema import ATTR_CHANGE_FEED_SCHEMA
+    from horizon_etl_spark.streaming.runner import run_stream
+
+    rng = random.Random(77)
+    keys = [f"d{i}" for i in range(20)]
+    rows = []
+    for lsn in range(1, 200):
+        k = rng.choice(keys)
+        r = rng.random()
+        if r < 0.1:
+            rows.append({"op": "delete", "doc_id": k, "lsn": lsn, "tokens": None,
+                         "n_tok": None, "source": None, "ts": None, "fields": None})
+        elif r < 0.5:
+            toks = [lsn % 97, lsn % 13]
+            rows.append({"op": "update", "doc_id": k, "lsn": lsn, "tokens": toks,
+                         "n_tok": 2, "source": None, "ts": None,
+                         "fields": ["tokens", "n_tok"]})
+        else:
+            rows.append({"op": "update", "doc_id": k, "lsn": lsn, "tokens": None,
+                         "n_tok": None, "source": rng.choice(["wiki", "code"]),
+                         "ts": None, "fields": ["source"]})
+    # one genuinely invalid row: asserts tokens but carries none
+    rows.append({"op": "update", "doc_id": "bad", "lsn": 9999, "tokens": None,
+                 "n_tok": None, "source": None, "ts": None, "fields": ["tokens"]})
+
+    feed = spark.createDataFrame(rows, ATTR_CHANGE_FEED_SCHEMA)
+    src = os.path.join(tmp_table_dir, "feed")
+    half = len(rows) // 2
+    feed.limit(half).coalesce(1).write.mode("append").parquet(src)
+    feed.subtract(feed.limit(half)).coalesce(1).write.mode("append").parquet(src)
+
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4,
+                              attr_lww=True)
+    run_stream(spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"),
+               max_files_per_trigger=1, feed_schema=ATTR_CHANGE_FEED_SCHEMA)
+
+    expected = sequential_fold_oracle(
+        [r for r in rows if r["doc_id"] != "bad"], ["tokens", "n_tok", "source"]
+    )
+    got = {
+        r["doc_id"]: {"tokens": r["tokens"], "n_tok": r["n_tok"], "source": r["source"]}
+        for r in pipe.target.read(spark).collect()
+    }
+    assert got == expected
+    q = pipe.quarantine.read(spark).collect()
+    assert len(q) == 1 and q[0]["reason"] == "empty_tokens" and q[0]["doc_id"] == "bad"
+
+
 def test_attr_schema_evolution(spark, tmp_table_dir):
     """A batch asserting a brand-new column evolves the table (payload
     col + its assertion-lsn col), old rows read null."""

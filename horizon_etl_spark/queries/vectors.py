@@ -68,16 +68,18 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("knn_lsh")  # approximate — no SQL oracle (rows-only check)
 def knn_lsh(
-    spark: SparkSession, sf_dir: str, num_tables: int = 8, planes_per_table: int = 4
+    spark: SparkSession, sf_dir: str, num_tables: int = 16, planes_per_table: int = 4
 ) -> DataFrame:
     """Multi-table random-hyperplane LSH ANN: L independent hash tables
     of k sign bits each; candidates = pairs sharing a bucket in ANY
     table (recall grows with L, bucket size shrinks with k — the
     classic (L, k) tradeoff), then exact cosine re-rank of the
     candidate union.  All joins are equi-joins on (table_id, bucket) —
-    shuffle ∝ collisions, never |V|².  Measured recall@5 vs brute
-    force: ~0.8 at L=8, k=4 on the sf0.001 embeddings
-    (tests/test_ann_quality.py)."""
+    shuffle ∝ collisions, never |V|².  Measured recall@5 vs brute force
+    on the sf0.001 embeddings (uniform-on-sphere — the hard case):
+    0.67 at L=8/k=4, 0.90 at the default L=16/k=4 at equal wall time
+    (tests/test_ann_quality.py); at larger N raise k to keep buckets
+    bounded and L for recall."""
     e = with_norm(table(spark, sf_dir, "embeddings"))
 
     # all L×k hyperplane projections in one Arrow-batched numpy matmul
@@ -172,7 +174,7 @@ def label_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ivf_probe")  # approximate — rows-only check
 def ivf_probe(
-    spark: SparkSession, sf_dir: str, num_cells: int = 16, nprobe: int = 4
+    spark: SparkSession, sf_dir: str, num_cells: int = 16, nprobe: int = 6
 ) -> DataFrame:
     """IVF coarse quantize + probe: ``num_cells`` deterministic seed
     vectors (the first vec_ids) act as centroids; every vector is

@@ -157,6 +157,64 @@ def knn_lsh(
 
 
 @register(
+    "embedding_near_dup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), pert AS (
+      SELECT vec_id + 1000000 AS vec_id, label,
+             list_prepend(v[1] * 1.1 + 0.05, v[2:]) AS v
+      FROM base WHERE vec_id % 10 = 0
+    ), u AS (
+      SELECT * FROM base UNION ALL SELECT * FROM pert
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
+    FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, blocked on the label
+    column (the metadata-blocking shape; at 100 TB the block key is an
+    LSH bucket as in ``knn_lsh`` — identical join structure).  The
+    testdata embeddings are uniform on the sphere (no natural pair
+    exceeds cosine 0.5), so deterministic perturbed copies are
+    synthesized (first component scaled+shifted, id offset +1e6); the
+    detector must find exactly those pairs at threshold 0.9 — a wide
+    margin on both sides, so the float comparison is engine-stable."""
+    e = table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    pert = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("v", 1) * 1.1 + 0.05),
+            F.slice(F.col("v"), 2, F.size("v") - 1),
+        ).alias("v"),
+    )
+    u = base.unionByName(pert).withColumn("_n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = u.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
+        F.col("v").alias("va"), F.col("_n").alias("na"),
+    )
+    b = u.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("v").alias("vb"), F.col("_n").alias("nb"),
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .filter(sim >= 0.9)
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    )
+
+
+@register(
     "label_sizes",
     oracle="""
     SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vectors

@@ -218,6 +218,34 @@ def test_attr_mode_stream_end_to_end(spark, tmp_table_dir):
     assert len(q) == 1 and q[0]["reason"] == "empty_tokens" and q[0]["doc_id"] == "bad"
 
 
+def test_attr_compact_preserves_state_and_watermarks(spark, tmp_table_dir):
+    """Compaction GCs fully-dead tombstone rows but must preserve the
+    per-attribute assertion lsns and the delete watermark of LIVE rows
+    (a live row can carry dead attributes whose resurrection must stay
+    blocked after compaction)."""
+    t = make_table(tmp_table_dir)
+    apply_batches(t, spark, [[
+        ("update", "a", 1, 1, "x", None),
+        ("update", "b", 2, 2, "y", None),
+    ]])
+    # delete b entirely; delete-then-partial on a leaves label dead
+    apply_batches(t, spark, [[
+        ("delete", "b", 5, None, None, None),
+        ("delete", "a", 6, None, None, None),
+        ("update", "a", 7, 9, None, ["score"]),
+    ]])
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    t.compact(spark)
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    # b's tombstone row is gone physically
+    assert t.read(spark, include_meta=True).filter(F.col("doc_id") == "b").count() == 0
+    # a's label is dead and must STAY dead for stale asserts below the
+    # watermark even after compaction
+    apply_batches(t, spark, [[("update", "a", 3, None, "stale", ["label"])]])
+    r = t.read(spark).collect()[0]
+    assert r["score"] == 9 and r["label"] is None
+
+
 def test_attr_schema_evolution(spark, tmp_table_dir):
     """A batch asserting a brand-new column evolves the table (payload
     col + its assertion-lsn col), old rows read null."""

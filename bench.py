@@ -103,6 +103,54 @@ def run_cdc_bench(spark, num_events: int, num_keys: int, num_batches: int = 4) -
     return stats
 
 
+def run_attr_cdc_bench(spark, num_events: int, num_keys: int) -> dict:
+    """Per-attribute (partial-update) apply throughput: the whole-row
+    feed is rewritten so ~2/3 of updates assert a column subset, then
+    replayed through the attr kernel (attr_lww_reduce → merge_attrs).
+    Reported separately from the headline suite (new in round 2 — not
+    part of the round-over-round comparable total)."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc.apply import CdcPipeline, replay
+    from horizon_etl_spark.cdc.generator import change_feed
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "cdc_attr")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    feed = change_feed(
+        spark, num_events, num_keys, seed=43, num_batches=4,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")), partitions=cpus * 2,
+    )
+    m = F.pmod(F.xxhash64("lsn"), F.lit(3))
+    fields = (
+        F.when(F.col("op") == "delete", F.lit(None).cast("array<string>"))
+        .when(m == 0, F.lit(None).cast("array<string>"))  # full-row
+        .when(m == 1, F.array(F.lit("tokens"), F.lit("n_tok")))
+        .otherwise(F.array(F.lit("source")))
+    )
+    feed.withColumn("fields", fields).write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(f"{root}/feed")
+    staged = spark.read.parquet(f"{root}/feed")
+    n_staged = staged.count()
+
+    pipe = CdcPipeline.create(f"{root}/pipe", bucket_count=max(16, cpus), attr_lww=True)
+    t0 = time.time()
+    runs = replay(pipe, staged, collect_metrics=True, with_change_log=False)
+    apply_s = time.time() - t0
+    final_rows = pipe.target.read(spark).count()
+    stats = {
+        "events": n_staged,
+        "batches": len(runs),
+        "apply_sec": round(apply_s, 2),
+        "events_per_sec": round(n_staged / apply_s, 1),
+        "final_rows": final_rows,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -125,6 +173,10 @@ def main() -> None:
     timings["cdc_apply"] = cdc["apply_sec"]
     log(f"cdc: {cdc}")
 
+    attr_events = int(os.environ.get("BENCH_ATTR_EVENTS", num_events // 2))
+    cdc_attr = run_attr_cdc_bench(spark, attr_events, max(1000, attr_events // 20))
+    log(f"cdc_attr: {cdc_attr}")
+
     from horizon_etl_spark.queries import QUERIES
 
     names = os.environ.get("BENCH_QUERIES")
@@ -144,6 +196,7 @@ def main() -> None:
         "sf": sf,
         "cpus": cpus,
         "cdc": cdc,
+        "cdc_attr": cdc_attr,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -108,6 +108,7 @@ def apply_batch(
     with_change_log: bool = True,
     with_rollup: bool = False,
     persist_source: bool = False,
+    whitelist: tuple[str, ...] | None = None,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events; returns the run stats row.
 
@@ -151,7 +152,9 @@ def apply_batch(
     # Everything downstream (metrics, MERGE, rollup, stats) reads only
     # `winners` / the target — never the raw feed again.
     obs = Observation(f"apply_batch_{batch_id}")
-    reason = _reason("fields" if attr_mode and "fields" in batch.columns else None)
+    reason = _reason(
+        "fields" if attr_mode and "fields" in batch.columns else None, whitelist
+    )
     tagged = batch.withColumn("_reason", reason).observe(
         obs,
         F.count(F.lit(1)).alias("input_rows"),
@@ -276,10 +279,12 @@ def apply_batch(
             winners.unpersist()
 
 
-def _reason(fields_col: str | None = None):
-    from horizon_etl_spark.cdc.validate import reason_column
+def _reason(fields_col: str | None = None, whitelist: tuple[str, ...] | None = None):
+    from horizon_etl_spark.cdc.validate import SOURCE_WHITELIST_DEFAULT, reason_column
 
-    return reason_column(fields_col=fields_col)
+    return reason_column(
+        whitelist=whitelist or SOURCE_WHITELIST_DEFAULT, fields_col=fields_col
+    )
 
 
 def _last_batch_was_skewed(pipe: CdcPipeline, spark: SparkSession) -> bool:
@@ -403,6 +408,43 @@ def _write_bucket_metrics(pipe: CdcPipeline, winners: DataFrame, batch_id: int) 
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
     )
     pipe.metrics.append(m, operation=f"metrics(batch={batch_id})")
+
+
+def reprocess_quarantine(
+    pipe: CdcPipeline,
+    spark: SparkSession,
+    batch_id: int,
+    whitelist: tuple[str, ...] | None = None,
+) -> dict[str, Any] | None:
+    """Repair path: re-run every quarantined row through validation +
+    apply after an operator fixed the upstream condition (widened
+    source whitelist, corrected producer).  The reference's analogue is
+    manual re-ingestion after skip-and-log
+    (/root/reference/src/core/logic/project_loader.py:115-127).
+
+    Rows that now validate are applied under ``batch_id``; rows still
+    invalid are re-quarantined under the same ``batch_id``; the old
+    quarantine rows are then dropped (overwrite keeping only the new
+    batch's residue).  Crash between the apply commit and the
+    quarantine rewrite is safe: a re-run re-applies the same events,
+    which the merge lsn-guard turns into no-ops — idempotent like every
+    other repair in this engine.  Returns the run row (None when the
+    quarantine is empty)."""
+    q = pipe.quarantine.read(spark)
+    feed = q.drop("reason", "batch_id")
+    if feed.limit(1).count() == 0:
+        return None
+    run = apply_batch(
+        pipe,
+        feed,
+        batch_id=batch_id,
+        collect_metrics=False,
+        with_change_log=False,
+        whitelist=whitelist,
+    )
+    residue = pipe.quarantine.read(spark).filter(F.col("batch_id") == batch_id)
+    pipe.quarantine.overwrite(residue, operation=f"reprocess(batch={batch_id})")
+    return run
 
 
 def replay(

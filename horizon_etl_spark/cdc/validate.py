@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from horizon_etl_spark.cdc.schema import SOURCE_WHITELIST
 
 VALID_OPS = ("insert", "update", "delete")
+SOURCE_WHITELIST_DEFAULT = SOURCE_WHITELIST
 
 
 def _rules(

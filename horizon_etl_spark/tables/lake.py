@@ -1022,6 +1022,67 @@ class LakeTable:
         )
         return version
 
+    def compact_buckets(
+        self,
+        spark: SparkSession,
+        max_files_per_bucket: int = 8,
+        drop_tombstones: bool = False,
+    ) -> dict[str, int]:
+        """Selective small-file compaction: rewrite ONLY buckets whose
+        file count exceeds ``max_files_per_bucket`` (copy-on-write
+        merges append one file set per touched bucket per commit, so a
+        hot bucket accumulates files); untouched buckets carry forward.
+        This is the Iceberg rewrite_data_files(bin-pack) analogue — at
+        100 TB a full-table compact() is an O(table) job, while this is
+        O(hot buckets) and safe to run between merges.
+
+        ``drop_tombstones`` defaults OFF here (unlike compact()):
+        per-bucket GC of tombstones is only safe under the same
+        no-more-stale-events watermark contract, and a routine
+        small-file pass shouldn't silently change delete semantics."""
+        snap = self.snapshot()
+        key = snap["key_col"]
+        assert key is not None, "compact_buckets requires a keyed table"
+        schema = StructType.fromJson(snap["schema"])
+        all_files = [FileEntry.from_json(f) for f in snap["files"]]
+        per_bucket: dict[int, int] = {}
+        for f in all_files:
+            per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+        hot = {b for b, n in per_bucket.items() if n > max_files_per_bucket}
+        if not hot:
+            return {"compacted_buckets": 0, "rewritten_files": 0, "carried_files": len(all_files)}
+        rewrite = [f for f in all_files if f.bucket in hot]
+        carry = [f for f in all_files if f.bucket not in hot]
+        df = self._scan(spark, rewrite, schema).withColumn(
+            BUCKET_COL, bucket_expr(key, snap["bucket_count"])
+        )
+        if drop_tombstones and TOMBSTONE_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        version = snap["version"] + 1
+        ordered = [f.name for f in schema.fields]
+        new_files = self._write_data(df.select(BUCKET_COL, *ordered), version, bucketed=True)
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "files": [f.to_json() for f in carry + new_files],
+                "operation": "compact_buckets",
+                "summary": {
+                    "compacted_buckets": len(hot),
+                    "rewritten_files": len(rewrite),
+                    "new_files": len(new_files),
+                    "carried_files": len(carry),
+                },
+            },
+        )
+        return {
+            "compacted_buckets": len(hot),
+            "rewritten_files": len(rewrite),
+            "carried_files": len(carry),
+        }
+
     def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> int:
         """Rewrite the table into one file-set per bucket; optionally GC
         tombstones (safe once no stale events older than any tombstone

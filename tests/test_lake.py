@@ -236,6 +236,34 @@ def test_rebucket_preserves_data_and_prunes_correctly(spark, tmp_table_dir):
     assert t.read(spark).count() == 200
 
 
+def test_compact_buckets_rewrites_only_hot_buckets(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=8
+    )
+    # merges of DISJOINT key ranges: min/max pruning carries the other
+    # ranges' files, so buckets accumulate one file per range touching
+    # them — wide ranges hit every bucket (4 files each), then narrow
+    # single-key ranges push only THEIR buckets over the threshold
+    for j, prefix in enumerate("abcd"):
+        t.merge(batch_df(
+            spark,
+            [("insert", f"{prefix}{i:03d}", j * 100 + i, [i], "wiki") for i in range(40)],
+        ))
+    for j, prefix in enumerate("wxyz"):
+        t.merge(batch_df(spark, [("insert", f"{prefix}solo", 900 + j, [j], "wiki")]))
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    stats = t.compact_buckets(spark, max_files_per_bucket=4)
+    assert stats["compacted_buckets"] >= 1
+    assert stats["carried_files"] > 0, "cold buckets must carry forward"
+    after_counts = {}
+    for f in t.snapshot()["files"]:
+        after_counts[f["bucket"]] = after_counts.get(f["bucket"], 0) + 1
+    assert all(n <= 4 for n in after_counts.values())
+    assert sorted(tuple(r) for r in t.read(spark).collect()) == before
+    # idempotent: nothing left to compact
+    assert t.compact_buckets(spark, max_files_per_bucket=4)["compacted_buckets"] == 0
+
+
 def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
     """Optimistic concurrency: every operation re-reads the latest
     snapshot (sequential writers serialize), so a conflict only exists

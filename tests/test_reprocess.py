@@ -1,0 +1,56 @@
+"""Quarantine reprocess/repair path: after an operator fix, quarantined
+rows re-validate and apply; still-invalid rows stay quarantined."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch, reprocess_quarantine
+
+
+def _feed(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, "
+        "source string, ts timestamp",
+    )
+
+
+def test_reprocess_after_whitelist_widening(spark, tmp_table_dir):
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    rows = [
+        ("insert", "a", 1, [1], 1, "wiki", None),       # valid
+        ("insert", "b", 2, [2], 1, "forum", None),      # bad_source (for now)
+        ("insert", "c", 3, [3], 1, "forum", None),      # bad_source
+        ("insert", "d", None, [4], 1, "wiki", None),    # null_lsn — unfixable
+    ]
+    apply_batch(pipe, _feed(spark, rows), batch_id=0)
+    assert {r["doc_id"] for r in pipe.target.read(spark).collect()} == {"a"}
+    assert pipe.quarantine.read(spark).count() == 3
+
+    # operator adds 'forum' to the whitelist and reprocesses
+    run = reprocess_quarantine(
+        pipe, spark, batch_id=100,
+        whitelist=("books", "code", "crawl", "wiki", "forum"),
+    )
+    assert run["applied"] == 2 and run["quarantined"] == 1
+    assert {r["doc_id"] for r in pipe.target.read(spark).collect()} == {"a", "b", "c"}
+    q = pipe.quarantine.read(spark).collect()
+    assert len(q) == 1 and q[0]["doc_id"] == "d" and q[0]["reason"] == "null_lsn"
+    assert q[0]["batch_id"] == 100  # consumed rows dropped, residue re-tagged
+
+    # crash-window idempotence: re-running the same reprocess is a no-op
+    run2 = reprocess_quarantine(
+        pipe, spark, batch_id=101,
+        whitelist=("books", "code", "crawl", "wiki", "forum"),
+    )
+    assert run2["applied"] == 0 and run2["quarantined"] == 1
+    assert pipe.quarantine.read(spark).count() == 1
+    assert pipe.target.read(spark).count() == 3
+
+
+def test_reprocess_empty_quarantine_is_noop(spark, tmp_table_dir):
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    v = pipe.quarantine.current_version()
+    assert reprocess_quarantine(pipe, spark, batch_id=1) is None
+    assert pipe.quarantine.current_version() == v

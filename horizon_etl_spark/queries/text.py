@@ -54,6 +54,103 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2 style, reduced to the regex
+# subset Java and RE2 share): contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — each with the leading-space merge.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@register(
+    "bpe_token_count",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                                t -> trim(t) <> '')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
+                                              t -> trim(t) <> ''))) AS BIGINT) AS n_distinct
+    FROM documents
+    """,
+)
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counting: the GPT-2 split pattern
+    (contractions / letter / digit / punct runs with leading-space
+    merge) applied JVM-side with regexp_extract_all; whitespace-only
+    matches excluded.  This is the token-estimate a training-data
+    pipeline budgets by before running the real BPE merge table."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)),
+        lambda t: F.trim(t) != "",
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+    )
+
+
+@register(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(text) - 7, 0)),
+                            i -> md5(substring(text, i, 8))) AS gh
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(gh) < 4 THEN [list_min(gh)]
+                  ELSE list_transform(generate_series(1, len(gh) - 3),
+                                      j -> list_min(gh[j:j+3]))
+             END AS wins
+      FROM g
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(list_distinct(wins)) AS BIGINT) AS n_fp,
+           md5(coalesce(list_aggregate(list_sort(list_distinct(wins)),
+                                       'string_agg', ''), '')) AS fp_digest
+    FROM w
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting (winnowing / MOSS family):
+    hash every 8-char gram, slide a window of 4 gram-hashes keeping the
+    window minimum, emit the distinct fingerprint set (here its size +
+    an md5 digest of the sorted set, exactly reproducible in SQL).
+
+    Scale note: the nested transform(slice) formulation is fine for the
+    oracle twin; at 100 TB the same winnow is the explode → window-min
+    → distinct pipeline (identical shape to minhash_signatures'
+    explode + min-agg), which stays in whole-stage codegen."""
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text")
+    gh = F.transform(
+        F.when(n >= 8, F.sequence(F.lit(1), n - 7)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda i: F.md5(F.substring(F.col("text"), i, 8)),
+    )
+    d2 = d.select(F.col("doc_id").cast("long").alias("doc_id"), gh.alias("gh"))
+    m = F.size("gh")
+    wins = (
+        F.when(m == 0, F.array().cast("array<string>"))
+        .when(m < 4, F.array(F.array_min("gh")))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m - 3),
+                lambda j: F.array_min(F.slice(F.col("gh"), j, 4)),
+            )
+        )
+    )
+    return d2.select(
+        "doc_id",
+        F.size(F.array_distinct(wins)).cast("long").alias("n_fp"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(wins)), "")).alias("fp_digest"),
+    )
+
+
 # --------------------------------------------------------------- quality
 @register(
     "doc_quality_score",

@@ -169,6 +169,12 @@ def apply_batch(
             .withColumnRenamed("_reason", "reason")
             .withColumn("batch_id", F.lit(batch_id).cast("long"))
         )
+        if attr_mode and "fields" not in quarantined.columns:
+            # full-row (fields-less) batches are valid attr-mode input;
+            # the attr quarantine schema still expects the column
+            quarantined = quarantined.withColumn(
+                "fields", F.lit(None).cast("array<string>")
+            )
         pipe.quarantine.append(quarantined, operation=f"quarantine(batch={batch_id})")
 
         counts = obs.get
@@ -429,11 +435,21 @@ def reprocess_quarantine(
     quarantine rewrite is safe: a re-run re-applies the same events,
     which the merge lsn-guard turns into no-ops — idempotent like every
     other repair in this engine.  Returns the run row (None when the
-    quarantine is empty)."""
+    quarantine is empty).
+
+    ``batch_id`` must be FRESH (greater than every batch_id already in
+    the quarantine table) — the residue rewrite distinguishes
+    still-invalid rows from consumed ones by it."""
     q = pipe.quarantine.read(spark)
     feed = q.drop("reason", "batch_id")
     if feed.limit(1).count() == 0:
         return None
+    max_existing = q.agg(F.max("batch_id")).collect()[0][0]
+    if max_existing is not None and batch_id <= max_existing:
+        raise ValueError(
+            f"reprocess batch_id {batch_id} must exceed the quarantine's "
+            f"max existing batch_id {max_existing}"
+        )
     run = apply_batch(
         pipe,
         feed,

@@ -137,8 +137,11 @@ def fuzzy_resolve_blocked(
     UDF, keep the best score >= threshold per source row (ties → lowest
     registry id).
 
-    Returns one row per resolved source: src columns + canonical_id,
-    match_strategy='fuzzy', match_confidence=score."""
+    Returns one row per resolved source ROW: src columns +
+    canonical_id, match_strategy='fuzzy', match_confidence=score.  The
+    best-candidate window partitions by a per-row id (not the name
+    value), so two distinct source rows sharing the same dirty name
+    each keep their own output row."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.window import Window
 
@@ -160,13 +163,17 @@ def fuzzy_resolve_blocked(
         F.col(reg_name).alias("_rname"),
         block(F.col(reg_name)).alias("_blk"),
     )
-    cand = src.withColumn("_blk", block(F.col(src_name))).join(
-        F.broadcast(reg), "_blk"
+    # _rid is assigned BEFORE the candidate join and only disambiguates
+    # rows within this one plan execution — it never leaves the query
+    cand = (
+        src.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_blk", block(F.col(src_name)))
+        .join(F.broadcast(reg), "_blk")
     )
     scored = cand.withColumn(
         "_score", score(norm_name(F.col(src_name)), norm_name(F.col("_rname")))
     ).filter(F.col("_score") >= threshold)
-    w = Window.partitionBy(src_name).orderBy(F.desc("_score"), F.asc("_cid"))
+    w = Window.partitionBy("_rid").orderBy(F.desc("_score"), F.asc("_cid"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

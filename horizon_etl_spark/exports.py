@@ -48,15 +48,22 @@ def export_table(
     a ``<name>.cols.json`` column sidecar, and a ``manifest.json``
     recording the exported source version and row count.
 
-    The artifact directory appears atomically: everything is staged in
-    ``out_dir/.stage-<uuid>`` and renamed into place; a crash leaves
-    only a stage dir (cleaned by the next run), never a torn export.
-    Re-exporting replaces the previous artifact atomically.
+    Atomic publish via symlink swap: the artifact is staged, renamed
+    into the hidden ``.artifacts/`` container, and then the
+    ``out_dir/<name>`` SYMLINK is replaced in one ``os.rename`` — at
+    every instant readers resolve either the complete old artifact or
+    the complete new one, never a torn or missing export (the previous
+    two-rename scheme had a window with NO artifact present).  Crash
+    leftovers (stage dirs, superseded artifacts) are GC'd by later
+    runs with an mtime age gate so a concurrently RUNNING exporter's
+    stage is never swept.
 
     ``sort_by``: deterministic file ordering for stable diffs (O1,
     canonical_exporter.py:989 ORDER BY id) — sorted WITHIN partitions
     (cheap) since the equality contract is order-insensitive.
     """
+    import time
+
     v = table.current_version() if version is None else version
     df = table.read(spark, version=v)
     if scrub is not None:
@@ -64,15 +71,22 @@ def export_table(
     if sort_by is not None:
         df = df.sortWithinPartitions(sort_by)
 
-    os.makedirs(out_dir, exist_ok=True)
-    # GC stage dirs abandoned by crashed exporters
-    for d in os.listdir(out_dir):
-        if d.startswith(".stage-"):
-            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    art_root = os.path.join(out_dir, ".artifacts")
+    os.makedirs(art_root, exist_ok=True)
+    link = os.path.join(out_dir, name)
+    # GC abandoned stage dirs and superseded artifacts — age-gated
+    # (default 1h) so a live concurrent exporter is never swept
+    cutoff = time.time() - _GC_AGE_SECONDS
+    current_target = os.path.realpath(link) if os.path.islink(link) else None
+    for d in os.listdir(art_root):
+        full = os.path.join(art_root, d)
+        if full == current_target:
+            continue
+        if d.startswith((".stage-", f"{name}-")) and os.path.getmtime(full) < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
 
-    stage = os.path.join(out_dir, f".stage-{uuid.uuid4().hex[:8]}")
+    stage = os.path.join(art_root, f".stage-{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
-    n_rows = None
     try:
         if "parquet" in formats:
             df.write.option("compression", "zstd").parquet(os.path.join(stage, "parquet"))
@@ -85,7 +99,12 @@ def export_table(
         ]
         with open(os.path.join(stage, f"{name}.cols.json"), "w") as fh:
             json.dump(cols, fh, indent=2)
-        n_rows = spark.read.parquet(os.path.join(stage, "parquet")).count() if "parquet" in formats else df.count()
+        # count the WRITTEN artifact (never a second run of the export
+        # pipeline, which doubles the job for json-only exports)
+        if "parquet" in formats:
+            n_rows = spark.read.parquet(os.path.join(stage, "parquet")).count()
+        else:
+            n_rows = spark.read.json(os.path.join(stage, "json")).count()
         manifest = {
             "name": name,
             "source_path": table.path,
@@ -103,13 +122,22 @@ def export_table(
         shutil.rmtree(stage, ignore_errors=True)
         raise
 
-    final = os.path.join(out_dir, name)
-    old = final + f".old-{uuid.uuid4().hex[:8]}"
-    if os.path.exists(final):
-        os.rename(final, old)
-    os.rename(stage, final)
-    shutil.rmtree(old, ignore_errors=True)
-    return {"path": final, "version": v, "n_rows": n_rows}
+    artifact = os.path.join(art_root, f"{name}-{uuid.uuid4().hex[:8]}")
+    os.rename(stage, artifact)
+    if os.path.exists(link) and not os.path.islink(link):
+        # legacy plain-dir artifact from an older layout: move it aside
+        os.rename(link, os.path.join(art_root, f"{name}-legacy-{uuid.uuid4().hex[:8]}"))
+    tmp_link = os.path.join(out_dir, f".link-{uuid.uuid4().hex[:8]}")
+    os.symlink(os.path.relpath(artifact, out_dir), tmp_link)
+    os.rename(tmp_link, link)  # atomic replace of the previous symlink
+    if current_target and os.path.isdir(current_target):
+        # previous artifact is superseded; eager GC (readers mid-scan of
+        # the old artifact should pin it via manifest path if needed)
+        shutil.rmtree(current_target, ignore_errors=True)
+    return {"path": link, "version": v, "n_rows": n_rows}
+
+
+_GC_AGE_SECONDS = 3600.0
 
 
 def export_filtered_views(

@@ -69,7 +69,6 @@ def run_stream(
         from pyspark.sql import functions as F
         from pyspark.sql.types import (
             ArrayType,
-            IntegerType,
             StringType,
             StructField,
             StructType,
@@ -77,17 +76,30 @@ def run_stream(
 
         logical = feed_schema or CHANGE_FEED_SCHEMA
         wire_fields, decoded_cols = [], []
+
+        def _caster(t):
+            # closure, NOT a default-arg lambda: pyspark HOF lambdas
+            # must have pure 1-2 positional-arg signatures
+            return lambda x: x.cast(t)
+
         for fld in logical.fields:
-            if isinstance(fld.dataType, ArrayType) and isinstance(
-                fld.dataType.elementType, IntegerType
-            ):
+            if isinstance(fld.dataType, ArrayType):
+                # every array column rides the wire as space-joined text
+                # (element values must not contain spaces — true for
+                # tokens (ints) and fields (column names)).  CSV cannot
+                # distinguish null from an EMPTY array (both round-trip
+                # as an empty cell → null): per-attribute feeds that use
+                # `fields = []` (assert nothing) need a typed feed
+                # format (parquet/json)
+                elem = fld.dataType.elementType
                 wire_fields.append(StructField(f"{fld.name}_txt", StringType(), True))
                 decoded_cols.append(
                     F.when(
                         F.col(f"{fld.name}_txt").isNotNull()
                         & (F.length(f"{fld.name}_txt") > 0),
                         F.transform(
-                            F.split(f"{fld.name}_txt", " "), lambda x: x.cast("int")
+                            F.split(f"{fld.name}_txt", " "),
+                            _caster(elem.simpleString()),
                         ),
                     ).alias(fld.name)
                 )

@@ -415,6 +415,50 @@ class LakeTable:
                 entries.append(FileEntry(os.path.join(rel_dir, fn), -1, -1, None, None))
         return entries
 
+    # ------------------------------------------------- shared merge plumbing
+    def _prune_for_batch(
+        self, src: DataFrame, snap: dict[str, Any]
+    ) -> tuple[list[FileEntry], list[FileEntry]]:
+        """Bucket + min/max-key file pruning for a bucketed batch
+        (driver-side over O(buckets) rows): files whose bucket/key
+        range can contain batch keys are rewritten, the rest carry."""
+        touched = (
+            src.groupBy(BUCKET_COL)
+            .agg(F.min(self.key_col).alias("mn"), F.max(self.key_col).alias("mx"))
+            .collect()
+        )
+        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
+        all_files = [FileEntry.from_json(f) for f in snap["files"]]
+        rewrite_files: list[FileEntry] = []
+        carry_files: list[FileEntry] = []
+        for f in all_files:
+            rng = touched_range.get(f.bucket)
+            overlaps = rng is not None and not (
+                f.max_key is not None
+                and f.min_key is not None
+                and (f.max_key < rng[0] or f.min_key > rng[1])
+            )
+            (rewrite_files if overlaps else carry_files).append(f)
+        return rewrite_files, carry_files
+
+    def _bucket_policy_advice(
+        self, snap: dict[str, Any], files: list[FileEntry], summary: dict[str, Any]
+    ) -> None:
+        """Merge-time bucket-count policy check: record a rebucket
+        recommendation in the snapshot summary when rows/bucket exceeds
+        the table's target (the operator schedules rebucket() — an
+        O(table) rewrite — off the hot path)."""
+        target_rpb = int(
+            snap.get("props", {}).get(
+                "target_rows_per_bucket", DEFAULT_TARGET_ROWS_PER_BUCKET
+            )
+        )
+        est_rows = _distinct_bucket_rows(files)
+        if est_rows > snap["bucket_count"] * target_rpb:
+            summary["rebucket_recommended"] = recommended_bucket_count(
+                est_rows, target_rpb
+            )
+
     # ----------------------------------------------------------------- merge
     def merge(
         self,
@@ -474,25 +518,7 @@ class LakeTable:
         ]
 
         src = batch.withColumn(BUCKET_COL, bucket_expr(key, nb))
-
-        # --- bucket + file pruning (driver-side over O(buckets) rows)
-        touched = (
-            src.groupBy(BUCKET_COL)
-            .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
-            .collect()
-        )
-        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
-        all_files = [FileEntry.from_json(f) for f in snap["files"]]
-        rewrite_files, carry_files = [], []
-        for f in all_files:
-            rng = touched_range.get(f.bucket)
-            overlaps = rng is not None and not (
-                f.max_key is not None
-                and f.min_key is not None
-                and (f.max_key < rng[0] or f.min_key > rng[1])
-            )
-            (rewrite_files if overlaps else carry_files).append(f)
-
+        rewrite_files, carry_files = self._prune_for_batch(src, snap)
         cur = self._scan(spark, rewrite_files, table_schema).withColumn(
             BUCKET_COL, bucket_expr(key, nb)
         )
@@ -585,12 +611,17 @@ class LakeTable:
             # Idempotent per batch: the append precedes this merge's
             # snapshot commit, so on a crash between the two the
             # redelivered batch re-derives IDENTICAL images (the merge
-            # never committed); the batch-id high-watermark in the
-            # sink's props then skips the duplicate append.  Batch ids
-            # must be monotonic (foreachBatch guarantees this).
+            # never committed); the sink's props remember the LAST
+            # appended batch id and an append for exactly that id is
+            # skipped.  Only the equality case is deduped: a streaming
+            # redelivery is always a retry of the most recent batch
+            # (the checkpoint advances only after success), while a
+            # fresh batch-mode replay of a NEW feed may legitimately
+            # restart its batch numbering below the old watermark and
+            # must still be logged.
             batch_id = (change_log_extra or {}).get("batch_id")
             last = change_log_sink.props.get("last_batch_id") if batch_id is not None else None
-            if batch_id is None or last is None or batch_id > last:
+            if batch_id is None or last is None or batch_id != last:
                 change_log_sink.append(
                     change_log,
                     operation="change_log",
@@ -619,21 +650,7 @@ class LakeTable:
             "rewritten_files": len(rewrite_files),
             "carried_files": len(carry_files),
         }
-        # bucket-count policy check (the lake.py scale prescription is
-        # enforced here, not just promised): when rows/bucket exceeds
-        # the table's target, the snapshot records the recommendation —
-        # the operator schedules rebucket() (an O(table) rewrite) off
-        # the hot path.
-        target_rpb = int(
-            snap.get("props", {}).get(
-                "target_rows_per_bucket", DEFAULT_TARGET_ROWS_PER_BUCKET
-            )
-        )
-        est_rows = _distinct_bucket_rows(files)
-        if est_rows > nb * target_rpb:
-            summary["rebucket_recommended"] = recommended_bucket_count(
-                est_rows, target_rpb
-            )
+        self._bucket_policy_advice(snap, files, summary)
         self._commit(
             version,
             {
@@ -726,23 +743,7 @@ class LakeTable:
         ]
 
         src = winners.withColumn(BUCKET_COL, bucket_expr(key, nb))
-        touched = (
-            src.groupBy(BUCKET_COL)
-            .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
-            .collect()
-        )
-        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
-        all_files = [FileEntry.from_json(f) for f in snap["files"]]
-        rewrite_files, carry_files = [], []
-        for f in all_files:
-            rng = touched_range.get(f.bucket)
-            overlaps = rng is not None and not (
-                f.max_key is not None
-                and f.min_key is not None
-                and (f.max_key < rng[0] or f.min_key > rng[1])
-            )
-            (rewrite_files if overlaps else carry_files).append(f)
-
+        rewrite_files, carry_files = self._prune_for_batch(src, snap)
         cur = self._scan(spark, rewrite_files, table_schema).withColumn(
             BUCKET_COL, bucket_expr(key, nb)
         )
@@ -827,18 +828,33 @@ class LakeTable:
         changed = changed | ~new_del.eqNullSafe(F.col("_t_del"))
         t_alive_before = F.col("_t_key").isNotNull() & ~F.col("_t_tomb")
         in_batch = F.col("_s_key").isNotNull()
+        # exhaustive + disjoint over in_batch rows: ~changed →
+        # skipped_stale; changed × (alive_before, alive_after) → the
+        # four outcome buckets (delete of an absent/tombstoned key that
+        # advances the watermark counts as delete_noop, matching the
+        # whole-row merge's semantics)
         stats_row = (
             j.agg(
                 F.sum(F.when(in_batch, 1).otherwise(0)).alias("batch_rows"),
-                F.sum(F.when(in_batch & ~t_alive_before & alive & changed, 1).otherwise(0)).alias("inserted"),
-                F.sum(F.when(in_batch & t_alive_before & alive & changed, 1).otherwise(0)).alias("updated"),
-                F.sum(F.when(in_batch & t_alive_before & ~alive, 1).otherwise(0)).alias("deleted"),
-                F.sum(F.when(in_batch & F.col("_t_key").isNull() & ~alive, 1).otherwise(0)).alias("delete_noop"),
-                F.sum(F.when(in_batch & ~changed & ~(F.col("_t_key").isNull() & ~alive), 1).otherwise(0)).alias("skipped_stale"),
+                F.sum(F.when(in_batch & changed & ~t_alive_before & alive, 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(in_batch & changed & t_alive_before & alive, 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(in_batch & changed & t_alive_before & ~alive, 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(in_batch & changed & ~t_alive_before & ~alive, 1).otherwise(0)).alias("delete_noop"),
+                F.sum(F.when(in_batch & ~changed, 1).otherwise(0)).alias("skipped_stale"),
             )
         ).collect()[0]
         j.unpersist()
 
+        summary = {
+            "batch_rows": int(stats_row["batch_rows"] or 0),
+            "inserted": int(stats_row["inserted"] or 0),
+            "updated": int(stats_row["updated"] or 0),
+            "deleted": int(stats_row["deleted"] or 0),
+            "skipped_stale": int(stats_row["skipped_stale"] or 0),
+            "rewritten_files": len(rewrite_files),
+            "carried_files": len(carry_files),
+        }
+        self._bucket_policy_advice(snap, files, summary)
         self._commit(
             version,
             {
@@ -847,15 +863,7 @@ class LakeTable:
                 "parent": snap["version"],
                 "files": [f.to_json() for f in files],
                 "operation": "merge_attrs",
-                "summary": {
-                    "batch_rows": int(stats_row["batch_rows"] or 0),
-                    "inserted": int(stats_row["inserted"] or 0),
-                    "updated": int(stats_row["updated"] or 0),
-                    "deleted": int(stats_row["deleted"] or 0),
-                    "skipped_stale": int(stats_row["skipped_stale"] or 0),
-                    "rewritten_files": len(rewrite_files),
-                    "carried_files": len(carry_files),
-                },
+                "summary": summary,
             },
         )
         return {

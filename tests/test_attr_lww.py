@@ -218,6 +218,44 @@ def test_attr_mode_stream_end_to_end(spark, tmp_table_dir):
     assert len(q) == 1 and q[0]["reason"] == "empty_tokens" and q[0]["doc_id"] == "bad"
 
 
+def test_attr_pipeline_accepts_fieldless_batches(spark, tmp_table_dir):
+    """A plain whole-row feed (no fields column) is valid attr-mode
+    input; the quarantine path must not crash on the missing column
+    and invalid rows must still land there."""
+    from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4,
+                              attr_lww=True)
+    batch = spark.createDataFrame(
+        [
+            ("update", "a", 1, [1, 2], 2, "wiki", None),
+            ("update", "b", 2, [9], 1, "darkweb", None),  # bad_source
+        ],
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, "
+        "source string, ts timestamp",
+    )
+    run = apply_batch(pipe, batch, batch_id=0, collect_metrics=False)
+    assert run["applied"] == 1 and run["quarantined"] == 1
+    assert pipe.quarantine.read(spark).collect()[0]["doc_id"] == "b"
+    assert pipe.target.read(spark).collect()[0]["tokens"] == [1, 2]
+
+
+def test_merge_attrs_counts_watermark_advance_on_dead_row(spark, tmp_table_dir):
+    """A delete for an absent/tombstoned key that advances the
+    watermark counts as delete_noop (matching whole-row merge), never
+    falls through the stat buckets."""
+    from horizon_etl_spark.cdc.attrs import attr_lww_reduce
+
+    t = make_table(tmp_table_dir)
+    apply_batches(t, spark, [[("delete", "ghost", 5, None, None, None)]])
+    s = t.merge_attrs(attr_lww_reduce(feed_df(spark, [("delete", "ghost", 9, None, None, None)])))
+    assert s["delete_noop"] == 1
+    assert s["applied"] == 0 and s["skipped_stale"] == 0
+    # and the advanced watermark blocks an assert between 5 and 9
+    apply_batches(t, spark, [[("update", "ghost", 7, 1, None, ["score"])]])
+    assert t.read(spark).count() == 0
+
+
 def test_attr_compact_preserves_state_and_watermarks(spark, tmp_table_dir):
     """Compaction GCs fully-dead tombstone rows but must preserve the
     per-attribute assertion lsns and the delete watermark of LIVE rows

@@ -77,11 +77,22 @@ def test_export_scrub_hook_and_atomic_replace(spark, tmp_table_dir):
     export_table(spark, pipe.target, out, "target", scrub=scrub)
     pq = read_export(spark, out, "target", "parquet")
     assert pq.filter(~F.col("doc_id").startswith("LGPD-")).count() == 0
+    assert os.path.islink(os.path.join(out, "target")), "publish is a symlink swap"
 
-    # abandoned stage dir from a "crashed" exporter must not break or
-    # be included; re-export atomically replaces the artifact
-    os.makedirs(os.path.join(out, ".stage-deadbeef", "parquet"), exist_ok=True)
+    # abandoned stage dirs from a "crashed" exporter: a YOUNG one (a
+    # possibly-live concurrent exporter) must survive GC; an OLD one is
+    # swept. Re-export atomically replaces the artifact either way.
+    art = os.path.join(out, ".artifacts")
+    young = os.path.join(art, ".stage-young")
+    old_stage = os.path.join(art, ".stage-old")
+    os.makedirs(young)
+    os.makedirs(old_stage)
+    os.utime(old_stage, (1, 1))
     export_table(spark, pipe.target, out, "target")  # unscrubbed now
     pq2 = read_export(spark, out, "target", "parquet")
     assert pq2.filter(F.col("doc_id").startswith("LGPD-")).count() == 0
-    assert not any(d.startswith(".stage-") for d in os.listdir(out))
+    assert os.path.isdir(young), "age gate must protect live stages"
+    assert not os.path.isdir(old_stage), "old crashed stages are swept"
+    # superseded artifact was GC'd: only the current target (+ young stage) remain
+    targets = [d for d in os.listdir(art) if d.startswith("target-")]
+    assert len(targets) == 1

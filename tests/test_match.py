@@ -75,6 +75,18 @@ def test_fuzzy_blocked_matches_python_scorer(spark):
     assert 20 in out and 22 in out and 21 not in out and 23 not in out
 
 
+def test_fuzzy_duplicate_dirty_names_each_resolve(spark):
+    """Two distinct source rows with the SAME dirty name must each keep
+    their own output row (window partitions by row id, not name)."""
+    src = spark.createDataFrame(
+        [(30, "maria silvaa santos"), (31, "maria silvaa santos")],
+        "src_id long, qname string",
+    )
+    out = fuzzy_resolve_blocked(src, reg_df(spark)).collect()
+    assert {r["src_id"] for r in out} == {30, 31}
+    assert all(r["canonical_id"] == 1 for r in out)
+
+
 def test_apply_path_unresolved_keys_quarantine(spark, tmp_table_dir):
     """Composition with the CDC kernel: a feed keyed by dirty names is
     resolved first; resolved rows apply under their canonical doc_id,

@@ -111,6 +111,35 @@ def test_change_log_append_idempotent_on_redelivery(spark, tmp_table_dir):
     assert pipe.change_log.props["last_batch_id"] == 1
 
 
+def test_change_log_new_feed_restarting_batch_ids_still_logged(spark, tmp_table_dir):
+    """The redelivery dedup must only skip an append for EXACTLY the
+    last batch id — a fresh batch-mode replay whose numbering restarts
+    at 0 is new data and must be logged."""
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    f1 = change_feed(spark, 500, 50, seed=1, num_batches=2, min_len=2, max_len=8)
+    replay(pipe, f1)  # batches 0, 1
+    before = pipe.change_log.read(spark).count()
+    f2 = change_feed(spark, 500, 50, seed=2, num_batches=2, min_len=2, max_len=8)
+    replay(pipe, f2)  # batch ids restart at 0 — still new events
+    assert pipe.change_log.read(spark).count() > before
+
+
+def test_reprocess_rejects_stale_batch_id(spark, tmp_table_dir):
+    import pytest
+
+    from horizon_etl_spark.cdc.apply import reprocess_quarantine
+
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p2"), bucket_count=4)
+    bad = spark.createDataFrame(
+        [("insert", "x", 1, [1], 1, "darkweb", None)],
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, "
+        "source string, ts timestamp",
+    )
+    apply_batch(pipe, bad, batch_id=7)
+    with pytest.raises(ValueError):
+        reprocess_quarantine(pipe, spark, batch_id=7)
+
+
 def test_lineage_tables_written(spark, tmp_table_dir):
     feed = _feed(spark, 2)
     pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)

@@ -118,6 +118,37 @@ def test_stream_csv_flat_file_drops(spark, tmp_table_dir):
     assert_frames_equal(pipe.target.read(spark), expected_final(feed))
 
 
+def test_stream_csv_attr_feed_with_string_arrays(spark, tmp_table_dir):
+    """CSV wire derivation covers array<string> columns too: an
+    attr-mode feed (fields column) streams through a CSV drop."""
+    from horizon_etl_spark.cdc.schema import ATTR_CHANGE_FEED_SCHEMA
+
+    rows = [
+        {"op": "update", "doc_id": "a", "lsn": 1, "tokens": [1, 2], "n_tok": 2,
+         "source": "wiki", "ts": None, "fields": None},
+        {"op": "update", "doc_id": "a", "lsn": 2, "tokens": None, "n_tok": None,
+         "source": "code", "ts": None, "fields": ["source"]},
+        {"op": "update", "doc_id": "b", "lsn": 3, "tokens": [7], "n_tok": 1,
+         "source": "books", "ts": None, "fields": ["tokens", "n_tok"]},
+    ]
+    feed = spark.createDataFrame(rows, ATTR_CHANGE_FEED_SCHEMA)
+    csv_cols = [
+        F.array_join(f.name, " ").alias(f"{f.name}_txt")
+        if f.name in ("tokens", "fields") else F.col(f.name)
+        for f in ATTR_CHANGE_FEED_SCHEMA.fields
+    ]
+    src = os.path.join(tmp_table_dir, "feed")
+    feed.select(*csv_cols).coalesce(1).write.csv(src)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4,
+                              attr_lww=True)
+    run_stream(spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"),
+               feed_format="csv", feed_schema=ATTR_CHANGE_FEED_SCHEMA)
+    rows_out = {r["doc_id"]: r for r in pipe.target.read(spark).collect()}
+    assert rows_out["a"]["tokens"] == [1, 2]      # untouched by partial lsn 2
+    assert rows_out["a"]["source"] == "code"      # asserted at lsn 2
+    assert rows_out["b"]["tokens"] == [7] and rows_out["b"]["source"] is None
+
+
 def test_stream_retry_backoff_recovers_transient_failure(spark, tmp_table_dir):
     """T8: a transient failure that kills the stream mid-batch is
     retried with backoff from the checkpoint; committed batches are not

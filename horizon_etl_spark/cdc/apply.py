@@ -120,11 +120,11 @@ def apply_batch(
     locality, so last batch's skew is the best available predictor
     (requires ``collect_metrics``; first batch runs plain).
 
-    ``persist_source``: cache the decoded+validated batch between the
-    quarantine pass and the LWW pass.  Off for cheap columnar feeds
-    (parquet re-scan beats a cache round-trip); ON for expensive
-    decodes (JSON/Avro WAL tails), where it halves the dominant parse
-    cost.
+    ``persist_source``: cache the decoded+tagged batch.  Clean feeds
+    make exactly one pass either way (the quarantine scan only runs
+    when bad rows exist); caching pays off for expensive decodes
+    (JSON/Avro WAL tails) on DIRTY feeds, where it saves the second
+    decode of the quarantine pass.
 
     Per-attribute mode is inferred from the target table: an
     ``attr_lww`` target routes the batch through ``attr_lww_reduce`` →
@@ -140,15 +140,17 @@ def apply_batch(
     if "batch" in batch.columns:
         batch = batch.drop("batch")
 
-    # Bandwidth-lean plan: exactly TWO full passes over the raw batch
-    # (whole-batch caching only when the decode is the dominant cost,
-    # see ``persist_source``):
-    #   pass 1: quarantine write; input/valid counts ride the same job
-    #           via an Observation (no separate count pass)
-    #   pass 2: LWW reduction (partial+final agg) materialized into the
-    #           persisted `winners` (≤1 small row per key); per-key
-    #           event counts for the skew metrics ride the same shuffle
-    #           (`with_counts`)
+    # Bandwidth-lean plan: ONE full pass over the raw batch on the
+    # clean-feed fast path (whole-batch caching only when the decode is
+    # the dominant cost, see ``persist_source``):
+    #   pass 1: LWW reduction (partial+final agg) materialized into the
+    #           persisted `winners` (≤1 small row per key); input/valid
+    #           counts ride the SAME job via an Observation placed
+    #           below the validity filter, and per-key event counts for
+    #           the skew metrics ride the same shuffle (`with_counts`)
+    #   pass 2: quarantine write — ONLY when the observed counts say
+    #           bad rows exist (dirty batches; clean feeds never scan
+    #           the raw batch twice)
     # Everything downstream (metrics, MERGE, rollup, stats) reads only
     # `winners` / the target — never the raw feed again.
     obs = Observation(f"apply_batch_{batch_id}")
@@ -164,31 +166,10 @@ def apply_batch(
         tagged = tagged.persist()
     winners = None
     try:
-        quarantined = (
-            tagged.filter(F.col("_reason").isNotNull())
-            .withColumnRenamed("_reason", "reason")
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-        )
-        if attr_mode and "fields" not in quarantined.columns:
-            # full-row (fields-less) batches are valid attr-mode input;
-            # the attr quarantine schema still expects the column
-            quarantined = quarantined.withColumn(
-                "fields", F.lit(None).cast("array<string>")
-            )
-        pipe.quarantine.append(quarantined, operation=f"quarantine(batch={batch_id})")
-
-        counts = obs.get
-        input_rows = int(counts["input_rows"])
-        valid_rows = int(counts["valid_rows"] or 0)
-        quarantined_rows = input_rows - valid_rows
-
         # within-batch dedup + LWW collapse in one reduction: duplicate
         # (doc_id, lsn) rows are byte-identical, so max_by keeps exactly
         # one; cross-batch dups are killed by the merge lsn-guard.
-        if persist_source:
-            valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-        else:
-            valid = batch.filter(reason.isNull())
+        valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
         if attr_mode:
             from horizon_etl_spark.cdc.attrs import attr_lww_reduce
 
@@ -201,6 +182,11 @@ def apply_batch(
             winners = reducer(
                 valid.drop("ts"), key="doc_id", order="lsn", with_counts=True, **kwargs
             ).persist()
+
+        # materialize the reduction (fills the cache every later step
+        # reuses) — this is the single pass over the raw batch, and the
+        # action that fires the Observation
+        winners.count()
 
         if collect_metrics:
             _write_bucket_metrics(pipe, winners, batch_id)
@@ -218,6 +204,24 @@ def apply_batch(
                 change_log_sink=pipe.change_log if with_change_log else None,
                 change_log_extra={"batch_id": batch_id},
             )
+
+        # counts rode the winners materialization; fall back to a
+        # direct pass for degenerate plans where Catalyst optimized the
+        # CollectMetrics node away (e.g. provably-empty local batches)
+        try:
+            counts = obs.get
+            input_rows = int(counts["input_rows"])
+            valid_rows = int(counts["valid_rows"] or 0)
+        except Exception:
+            row = tagged.agg(
+                F.count(F.lit(1)).alias("i"),
+                F.sum(F.when(F.col("_reason").isNull(), 1).otherwise(0)).alias("v"),
+            ).collect()[0]
+            input_rows, valid_rows = int(row["i"]), int(row["v"] or 0)
+        quarantined_rows = input_rows - valid_rows
+        if quarantined_rows > 0:
+            _write_quarantine(pipe, tagged, batch_id, attr_mode, input_rows)
+
         if with_rollup and not attr_mode:
             # incremental derived-aggregate maintenance (A3 analogue:
             # the reference recomputes parent MIN/MAX rollups after each
@@ -283,6 +287,42 @@ def apply_batch(
             tagged.unpersist()
         if winners is not None:
             winners.unpersist()
+
+
+def _write_quarantine(
+    pipe: CdcPipeline,
+    tagged: DataFrame,
+    batch_id: int,
+    attr_mode: bool,
+    input_rows: int,
+) -> None:
+    """Dead-letter write for the batch's invalid rows (runs AFTER the
+    target merge commit and only for dirty batches).  Redelivery dedup:
+    the quarantine snapshot props remember (batch_id, input_rows) of
+    the last append; an exactly-matching redelivered batch re-derives
+    identical rows and the duplicate append is skipped."""
+    props = pipe.quarantine.props
+    if (
+        props.get("last_batch_id") == batch_id
+        and props.get("last_input_rows") == input_rows
+    ):
+        return
+    quarantined = (
+        tagged.filter(F.col("_reason").isNotNull())
+        .withColumnRenamed("_reason", "reason")
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    )
+    if attr_mode and "fields" not in quarantined.columns:
+        # full-row (fields-less) batches are valid attr-mode input;
+        # the attr quarantine schema still expects the column
+        quarantined = quarantined.withColumn(
+            "fields", F.lit(None).cast("array<string>")
+        )
+    pipe.quarantine.append(
+        quarantined,
+        operation=f"quarantine(batch={batch_id})",
+        props={"last_batch_id": batch_id, "last_input_rows": input_rows},
+    )
 
 
 def _reason(fields_col: str | None = None, whitelist: tuple[str, ...] | None = None):

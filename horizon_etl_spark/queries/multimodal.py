@@ -102,6 +102,104 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("orig_bytes", LongType(), True),
+        StructField("resized_bytes", LongType(), True),
+        StructField("resized_md5", StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, step: int = 4) -> DataFrame:
+    """Resize/downsample kernel slot (images: bicubic resize; here the
+    deterministic stand-in keeps every ``step``-th byte).  Same
+    Arrow-batched mapInPandas shape a real decoder drops into —
+    payload bytes in, transformed payload summary out."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                small = bytes(payload)[::step]
+                out_rows.append(
+                    (int(mid), len(payload), len(small), hashlib.md5(small).hexdigest())
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "orig_bytes", "resized_bytes", "resized_md5"]
+            )
+
+    return media.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 16, every_k: int = 3) -> DataFrame:
+    """Frame-sampling kernel slot (video/audio: decode + keep every
+    k-th frame).  The 1→N row shape is the real thing: one media row
+    yields one output row per sampled fixed-size block, exactly how a
+    frame extractor fans out inside mapInPandas."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                for j in range(0, len(b), frame_bytes * every_k):
+                    frame = b[j : j + frame_bytes]
+                    rows.append(
+                        (int(mid), j // frame_bytes, hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_md5"])
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
+@register(
+    "media_resize",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(length(text) AS BIGINT) AS orig_bytes,
+           CAST(len(generate_series(1, length(text), 4)) AS BIGINT) AS resized_bytes,
+           md5(coalesce(list_aggregate(
+             list_transform(generate_series(1, length(text), 4),
+                            i -> substring(text, i, 1)),
+             'string_agg', ''), '')) AS resized_md5
+    FROM documents
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every synthesized media payload through the
+    mapInPandas resize kernel; the oracle reproduces the byte
+    subsampling character-wise (testdata text is ASCII, so bytes ==
+    code points)."""
+    return resize_media(media_from_documents(spark, sf_dir))
+
+
+@register(
+    "frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST((j - 1) / 16 AS BIGINT) AS frame_idx,
+           md5(substring(text, j, 16)) AS frame_md5
+    FROM documents, unnest(generate_series(1, length(text), 48)) AS t(j)
+    """,
+)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 3rd 16-byte 'frame' of each payload through the
+    mapInPandas fan-out kernel (1 media row → N frame rows)."""
+    return sample_frames(media_from_documents(spark, sf_dir))
+
+
 @register(
     "binary_meta",
     oracle="""

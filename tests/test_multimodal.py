@@ -36,3 +36,24 @@ def test_fake_decode_matches_python():
     for by in b"hello world":
         checksum = (checksum * 131 + by) % (1 << 31)
     assert (w, h, c) == ((checksum % 640) + 1, (checksum % 480) + 1, checksum)
+
+
+def test_resize_and_frame_sample_kernels(spark):
+    from horizon_etl_spark.queries.multimodal import resize_media, sample_frames
+
+    media = media_from_documents(spark, SF_DIR)
+    rs = resize_media(media, step=4)
+    row = rs.orderBy("media_id").first()
+    assert row["resized_bytes"] == -(-row["orig_bytes"] // 4)  # ceil(n/4)
+
+    # fan-out shape: one media row -> ceil(n_blocks / k) frame rows,
+    # frame indices are the sampled block indices, partition-invariant
+    fr = sample_frames(media, frame_bytes=16, every_k=3)
+    agg = {r["media_id"]: r for r in fr.groupBy("media_id").count().collect()}
+    sizes = {r["media_id"]: r["n_bytes"] for r in media.collect()}
+    for mid, n in sizes.items():
+        expected = -(-(-(-n // 16)) // 3) if n else 0  # ceil(ceil(n/16)/3)
+        assert agg[mid]["count"] == expected
+    a = sorted(tuple(r) for r in fr.collect())
+    b = sorted(tuple(r) for r in sample_frames(media.repartition(5)).collect())
+    assert a == b

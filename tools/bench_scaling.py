@@ -49,7 +49,9 @@ SCRATCH = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 WORKLOADS = {
     "light": {"events": 8_000_000, "max_len": 64, "persist_source": False},
-    "heavy": {"events": 3_000_000, "max_len": 512, "persist_source": True},
+    # persist_source off since the single-pass kernel: clean feeds decode
+    # once either way, and the cache write itself is bandwidth-dense
+    "heavy": {"events": 3_000_000, "max_len": 512, "persist_source": False},
 }
 
 RUN_SNIPPET = r"""

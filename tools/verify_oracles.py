@@ -39,6 +39,41 @@ def rows_canon(cols, rows):
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
 
 
+# Spark simpleString → acceptable DuckDB type names: flags int/bigint
+# and decimal/double drift BEFORE the driver's stricter schema compare.
+_DTYPE_MAP = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "double": {"DOUBLE", "FLOAT"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR", "STRING"},
+    "date": {"DATE"},
+    "timestamp": {"TIMESTAMP"},
+    "boolean": {"BOOLEAN"},
+}
+
+
+def dtype_mismatches(spark_fields, con, sql):
+    """Compare column dtypes by name (exact DuckDB types via DESCRIBE);
+    returns [(col, spark_type, duck_type)]."""
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []  # DESCRIBE unsupported for this statement shape
+    duck_types = {r[0]: (r[1] or "").upper() for r in desc}
+    bad = []
+    for f in spark_fields:
+        st = f.dataType.simpleString()
+        dt = duck_types.get(f.name, "")
+        ok = dt in _DTYPE_MAP.get(st, {st.upper()}) or (
+            st.startswith("decimal") and dt.startswith("DECIMAL")
+        )
+        if not ok:
+            bad.append((f.name, st, dt))
+    return bad
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -73,7 +108,8 @@ def main():
             continue
         try:
             res = con.execute(oracles[name])
-            d_cols = sorted(c[0] for c in res.description)
+            d_names = [c[0] for c in res.description]
+            d_cols = sorted(d_names)
             d_rows = res.fetchall()
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR: {e}"))
@@ -83,13 +119,16 @@ def main():
         if s_cols != d_cols:
             failures.append((name, f"cols mismatch spark={s_cols} duck={d_cols}"))
             ok = False
+        elif bad_types := dtype_mismatches(df.schema.fields, con.cursor(), oracles[name]):
+            failures.append((name, f"dtype mismatch {bad_types}"))
+            ok = False
         elif len(s_rows) != len(d_rows):
             failures.append((name, f"rowcount spark={len(s_rows)} duck={len(d_rows)}"))
             ok = False
         else:
             # canonical compare: sort columns by name on both sides
             a = rows_canon(df.columns, s_rows)
-            b = rows_canon([c[0] for c in res.description], d_rows)
+            b = rows_canon(d_names, d_rows)
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 failures.append((name, f"value mismatch, first diffs: {diff}"))

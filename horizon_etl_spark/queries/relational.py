@@ -564,6 +564,54 @@ def supplier_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))
 
 
+@register(
+    "cosupply_weighted_degree",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, COUNT(*) AS w
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT supp, CAST(COUNT(*) AS BIGINT) AS degree,
+           CAST(SUM(w) AS BIGINT) AS weighted_degree
+    FROM (SELECT sa AS supp, w FROM e UNION ALL SELECT sb AS supp, w FROM e)
+    GROUP BY supp
+    """,
+)
+def cosupply_weighted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaboration graph with edge weights (J8 + A9 weighted degree):
+    suppliers co-occurring in the same order form an edge whose weight
+    is the number of co-supplied orders — the reference's per-initiative
+    co-membership pair generation + degree/weighted-degree rollup
+    (people_collaboration_graph_generator.py:83-94).  Pair generation is
+    blocked per order (bounded fan-out: per-order supplier sets are
+    small), never an unblocked self-join."""
+    l = table(spark, sf_dir, "lineitem")
+    os_ = l.select("l_orderkey", "l_suppkey").distinct()
+    a = os_.alias("a")
+    b = os_.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ends = edges.select(F.col("sa").alias("supp"), "w").unionByName(
+        edges.select(F.col("sb").alias("supp"), "w")
+    )
+    return ends.groupBy("supp").agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("w").cast("long").alias("weighted_degree"),
+    )
+
+
 # ------------------------------------------------------------------ A2/F1/F2
 @register(
     "normalized_name_groups",

@@ -16,11 +16,15 @@ hash-compares values):
 
 from horizon_etl_spark.queries.registry import ORACLES, QUERIES, register, table  # noqa: F401
 
-# importing the modules populates the registry
-from horizon_etl_spark.queries import relational  # noqa: E402,F401
+# Importing the modules populates the registry.  Order = driver check
+# order, most-load-bearing families first (the driver's correctness
+# gate reads the first 50 registry entries; the whole registry now fits
+# under that cap, and this ordering keeps the flagship CDC kernel +
+# vector/multimodal rows safe even if new queries push past it).
 from horizon_etl_spark.queries import cdc_feed  # noqa: E402,F401
-from horizon_etl_spark.queries import matching  # noqa: E402,F401
-from horizon_etl_spark.queries import scalars  # noqa: E402,F401
-from horizon_etl_spark.queries import text  # noqa: E402,F401
 from horizon_etl_spark.queries import vectors  # noqa: E402,F401
 from horizon_etl_spark.queries import multimodal  # noqa: E402,F401
+from horizon_etl_spark.queries import text  # noqa: E402,F401
+from horizon_etl_spark.queries import relational  # noqa: E402,F401
+from horizon_etl_spark.queries import matching  # noqa: E402,F401
+from horizon_etl_spark.queries import scalars  # noqa: E402,F401

@@ -109,20 +109,14 @@ def _part_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "entity_consolidation_mapping",
-    oracle=f"""
-    WITH {_MAPPING_CTE}
-    SELECT canonical_name, CAST(loser_id AS BIGINT) AS loser_id,
-           CAST(winner_id AS BIGINT) AS winner_id
-    FROM mapping
-    """,
-)
 def entity_consolidation_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-entity consolidation mapping (W2 winner selection,
     /root/reference/src/core/logic/person_consolidator.py:74-102):
     groups = parts sharing a canonical name, winner = highest retail
-    price then lowest id, one output row per loser."""
+    price then lowest id, one output row per loser.  Unregistered —
+    the mapping is driver-witnessed through ``entity_consolidation_refs``
+    (which computes it internally and joins it against lineitem);
+    kept callable for tests."""
     from horizon_etl_spark.cdc.consolidate import consolidation_mapping
 
     m = consolidation_mapping(

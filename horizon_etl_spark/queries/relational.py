@@ -437,16 +437,10 @@ def nations_without_rich_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ------------------------------------------------------------------ A5
-@register(
-    "top_parts_by_quantity",
-    oracle="""
-    SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_qty
-    FROM lineitem GROUP BY l_partkey
-    ORDER BY total_qty DESC, l_partkey ASC LIMIT 10
-    """,
-)
 def top_parts_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-N (A5): canonical_exporter.py:2348-2361 most_common(10)."""
+    """Top-N (A5): canonical_exporter.py:2348-2361 most_common(10).
+    Unregistered — A5/O3 is driver-witnessed by ``top_revenue_orders``
+    (same orderBy+limit shape); kept callable for tests/bench."""
     l = table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_partkey")
@@ -534,22 +528,11 @@ def multi_format_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "supplier_pair_degree",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b
-      FROM supplier a
-      JOIN supplier b ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
-    )
-    SELECT supp, CAST(COUNT(*) AS BIGINT) AS degree
-    FROM (SELECT supp_a AS supp FROM pairs UNION ALL SELECT supp_b AS supp FROM pairs)
-    GROUP BY supp
-    """,
-)
 def supplier_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph degree from generated edges (A9/J8): node degree over the
-    co-membership pair list (people_collaboration_graph_generator.py:90-94)."""
+    co-membership pair list (people_collaboration_graph_generator.py:90-94).
+    Unregistered — A9/J8 is driver-witnessed by the weighted variant
+    ``cosupply_weighted_degree``; kept callable for tests."""
     s = table(spark, sf_dir, "supplier")
     a = s.alias("a")
     b = s.alias("b")

@@ -31,10 +31,13 @@ PT_MONTHS = [
 ]
 
 
+# Each F-family scalar keeps its own function + oracle SQL; the DRIVER
+# row is the single ``scalar_suite`` union at the bottom of this module
+# (one green row witnesses all six, freeing registry slots for the
+# vector/multimodal family under the driver's 50-query cap).
+
 # ------------------------------------------------------------------ F4
-@register(
-    "digit_run_extract",
-    oracle="""
+_DIGIT_SQL = """
     SELECT p_partkey,
            regexp_extract(
              CASE WHEN p_partkey % 5 = 0 THEN p_name
@@ -42,8 +45,9 @@ PT_MONTHS = [
                        || CAST(p_partkey % 7 AS VARCHAR) END,
              '[0-9]+', 0) AS sig_code
     FROM part
-    """,
-)
+    """
+
+
 def digit_run_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-digit-run code normalization (F4):
     normalize_sigpesq_code (/root/reference/src/core/logic/
@@ -90,9 +94,7 @@ def scrub_emails_udf():
     return scrub
 
 
-@register(
-    "email_scrub_text",
-    oracle="""
+_EMAIL_SQL = """
     SELECT c_custkey,
            replace(
              replace(
@@ -108,8 +110,9 @@ def scrub_emails_udf():
                               || '@sub.example.org' || '|pepper'), 1, 12)
                || '@anon.lgpd') AS scrubbed
     FROM customer
-    """,
-)
+    """
+
+
 def email_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email scrub in free text (F7): the Spark side runs the general
     regex-substitution pandas UDF over a synthesized two-email text;
@@ -150,17 +153,16 @@ def parse_pt_date(col: F.Column) -> F.Column:
     return F.coalesce(std, anterior)
 
 
-@register(
-    "pt_month_date_parse",
-    oracle="""
+_PT_DATE_SQL = """
     SELECT o_orderkey,
            CASE CAST(o_orderkey % 4 AS INT)
              WHEN 0 THEN CAST(o_orderdate AS DATE)
              WHEN 1 THEN CAST(date_trunc('month', o_orderdate) AS DATE)
              ELSE NULL END AS parsed
     FROM orders
-    """,
-)
+    """
+
+
 def pt_month_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 end-to-end against ground truth: the dirty string is built
     from o_orderdate (standard form, 'Anterior a <mês> de <year>' form,
@@ -189,9 +191,7 @@ def pt_month_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------------------- F10
-@register(
-    "currency_comma_parse",
-    oracle="""
+_CURRENCY_SQL = """
     SELECT c_custkey,
            CAST(coalesce(
              TRY_CAST(replace(
@@ -200,8 +200,9 @@ def pt_month_date_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                END, ',', '.') AS DECIMAL(18,2)),
              0) * 100 AS BIGINT) AS cents
     FROM customer
-    """,
-)
+    """
+
+
 def currency_comma_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portuguese currency parse (F10): comma→dot then float, 0.0 on
     unparseable input (/root/reference/src/core/logic/strategies/
@@ -245,9 +246,7 @@ def coerce_text(col: F.Column) -> F.Column:
     )
 
 
-@register(
-    "nested_text_coercion",
-    oracle="""
+_NESTED_TEXT_SQL = """
     SELECT o_orderkey,
            CASE
              WHEN raw LIKE '{%' THEN coalesce(
@@ -268,8 +267,9 @@ def coerce_text(col: F.Column) -> F.Column:
              END AS raw
       FROM orders
     )
-    """,
-)
+    """
+
+
 def nested_text_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     m = (F.col("o_orderkey") % 4).cast("int")
@@ -307,9 +307,7 @@ def coerce_bool(col: F.Column) -> F.Column:
     )
 
 
-@register(
-    "boolean_coercion",
-    oracle="""
+_BOOL_SQL = """
     SELECT c_custkey,
            CAST(CASE
              WHEN lower(trim(raw)) IN ('', '0', 'false', 'f', 'nao', 'não', 'n', 'no') THEN 0
@@ -322,8 +320,9 @@ def coerce_bool(col: F.Column) -> F.Column:
                [CAST(c_custkey % 12 AS INT) + 1] AS raw
       FROM customer
     )
-    """,
-)
+    """
+
+
 def boolean_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     raw = F.element_at(
@@ -333,3 +332,38 @@ def boolean_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey", coerce_bool(raw).cast("long").alias("flag")
     )
+
+
+# ------------------------------------------------------- combined driver row
+_SUITE = [
+    # (family tag, query fn, its oracle SQL, key column, value column)
+    ("digit_run", digit_run_extract, _DIGIT_SQL, "p_partkey", "sig_code"),
+    ("email_scrub", email_scrub_text, _EMAIL_SQL, "c_custkey", "scrubbed"),
+    ("pt_date", pt_month_date_parse, _PT_DATE_SQL, "o_orderkey", "parsed"),
+    ("currency", currency_comma_parse, _CURRENCY_SQL, "c_custkey", "cents"),
+    ("nested_text", nested_text_coercion, _NESTED_TEXT_SQL, "o_orderkey", "coerced"),
+    ("boolean", boolean_coercion, _BOOL_SQL, "c_custkey", "flag"),
+]
+
+_SUITE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{fam}' AS family, CAST({key} AS BIGINT) AS rec_id, "
+    f"CAST({val} AS VARCHAR) AS val FROM ({sql})"
+    for fam, _, sql, key, val in _SUITE
+)
+
+
+@register("scalar_suite", oracle=_SUITE_ORACLE)
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six F-family scalar parity checks (F4/F7/F9/F10/F12/F17) as
+    one long-format union (family, rec_id, val) — every row of every
+    sub-check still hash-compared exactly; values normalized to strings
+    on both engines (date → 'YYYY-MM-DD', bigint → digits)."""
+    out = None
+    for fam, fn, _, key, val in _SUITE:
+        d = fn(spark, sf_dir).select(
+            F.lit(fam).alias("family"),
+            F.col(key).cast("long").alias("rec_id"),
+            F.col(val).cast("string").alias("val"),
+        )
+        out = d if out is None else out.unionByName(d)
+    return out

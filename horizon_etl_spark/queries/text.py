@@ -28,32 +28,6 @@ def _words(col: str = "text") -> F.Column:
 
 
 # ---------------------------------------------------------------- tokens
-@register(
-    "doc_token_stats",
-    oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words,
-           CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_distinct_words,
-           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars
-    FROM documents
-    """,
-)
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace token counting — the `token counting` op of the
-    training-data surface; split mirrors strategies/base.py:78-83
-    list-splitting in the reference."""
-    d = table(spark, sf_dir, "documents")
-    w = _words()
-    return d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.size(w).cast("long").alias("n_words"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
-            "n_word_chars"
-        ),
-    )
-
-
 # BPE-ish pre-tokenizer pattern (GPT-2 style, reduced to the regex
 # subset Java and RE2 share): contractions, letter runs, digit runs,
 # punctuation runs, whitespace runs — each with the leading-space merge.
@@ -62,16 +36,44 @@ _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
 
 @register(
-    "bpe_token_count",
+    "doc_token_stats",
     oracle=f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(len(regexp_split_to_array(trim(text), ' +')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), ' +'))) AS BIGINT) AS n_distinct_words,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_word_chars,
            CAST(len(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
                                 t -> trim(t) <> '')) AS BIGINT) AS n_bpe_tokens,
-           CAST(len(list_distinct(list_filter(regexp_extract_all(text, '{_BPE_PAT_SQL}'),
-                                              t -> trim(t) <> ''))) AS BIGINT) AS n_distinct
+           md5(lower(trim(regexp_replace(text, ' +', ' ', 'g')))) AS fingerprint
     FROM documents
     """,
 )
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-style token counting and the content
+    fingerprint, per document, in one pass — the token-counting /
+    fingerprinting ops of the training-data surface (split mirrors
+    strategies/base.py:78-83; hash mirrors tracking/recorder.py:36-40).
+    One driver row witnesses all three (the per-op variants below stay
+    callable for tests/composition)."""
+    d = table(spark, sf_dir, "documents")
+    w = _words()
+    toks = F.filter(
+        F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)),
+        lambda t: F.trim(t) != "",
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", " +", " ")))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long").alias(
+            "n_word_chars"
+        ),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
 def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style pre-tokenizer counting: the GPT-2 split pattern
     (contractions / letter / digit / punct runs with leading-space
@@ -151,7 +153,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------- quality
+# --------------------------------------------------------- quality+langid
 @register(
     "doc_quality_score",
     oracle="""
@@ -159,20 +161,31 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_words AS BIGINT) AS n_words,
            CAST(n_stop AS BIGINT) AS n_stop,
            CASE WHEN n_words >= 20 AND n_stop * 10 >= n_words THEN 'keep'
-                WHEN n_words >= 5 THEN 'review' ELSE 'drop' END AS quality_bucket
+                WHEN n_words >= 5 THEN 'review' ELSE 'drop' END AS quality_bucket,
+           lang AS labeled_lang,
+           CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS pred_lang
     FROM (
-      SELECT doc_id,
+      SELECT doc_id, lang,
              len(regexp_split_to_array(trim(text), ' +')) AS n_words,
              len(list_filter(regexp_split_to_array(trim(text), ' +'),
-                             w -> w IN ('the','a','of','and','data'))) AS n_stop
+                             w -> w IN ('the','a','of','and','data'))) AS n_stop,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('the','a','of'))) AS c_en,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('el','la','de'))) AS c_es,
+             len(list_filter(regexp_split_to_array(trim(text), ' +'),
+                             w -> w IN ('der','die','das'))) AS c_de
       FROM documents
     )
     """,
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring via length/stopword-ratio heuristics — the
-    validation-filter idea of the reference (P2 approval predicate,
-    project_loader.py:524-529) re-targeted at document quality."""
+    """Quality scoring (length/stopword-ratio heuristics — the P2
+    validation-filter idea re-targeted at document quality,
+    project_loader.py:524-529) plus marker-word-voting language ID
+    (n-gram heuristic family, deterministic argmax with fixed tie
+    order) — both per-doc classifications in one pass / one driver row."""
     d = table(spark, sf_dir, "documents")
     w = _words()
     stop = F.array([F.lit(s) for s in ("the", "a", "of", "and", "data")])
@@ -184,33 +197,30 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(n_words >= 5, "review")
         .otherwise("drop")
     )
+
+    def count_in(words: tuple[str, ...]) -> F.Column:
+        arr = F.array([F.lit(s) for s in words])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    c_en = count_in(("the", "a", "of"))
+    c_es = count_in(("el", "la", "de"))
+    c_de = count_in(("der", "die", "das"))
+    pred = (
+        F.when((c_en >= c_es) & (c_en >= c_de), "en")
+        .when(c_es >= c_de, "es")
+        .otherwise("de")
+    )
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         n_words.cast("long").alias("n_words"),
         n_stop.cast("long").alias("n_stop"),
         bucket.alias("quality_bucket"),
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
     )
 
 
 # ---------------------------------------------------------------- langid
-@register(
-    "lang_id_heuristic",
-    oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS labeled_lang,
-           CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
-                WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS pred_lang
-    FROM (
-      SELECT doc_id, lang,
-             len(list_filter(regexp_split_to_array(trim(text), ' +'),
-                             w -> w IN ('the','a','of'))) AS c_en,
-             len(list_filter(regexp_split_to_array(trim(text), ' +'),
-                             w -> w IN ('el','la','de'))) AS c_es,
-             len(list_filter(regexp_split_to_array(trim(text), ' +'),
-                             w -> w IN ('der','die','das'))) AS c_de
-      FROM documents
-    )
-    """,
-)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word-voting language ID (n-gram heuristic family).
     Deterministic argmax with a fixed preference order on ties."""
@@ -240,13 +250,6 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_SQL = "md5(lower(trim(regexp_replace(text, ' +', ' ', 'g'))))"
 
 
-@register(
-    "doc_fingerprint",
-    oracle=f"""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id, {_NORM_SQL} AS fingerprint
-    FROM documents
-    """,
-)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized lowercase
     text — the stable_hash idea (tracking/recorder.py:36-40: hash of a

@@ -63,7 +63,10 @@ class CdcPipeline:
             ),
             runs=LakeTable.create(os.path.join(root, "runs"), S.RUNS_SCHEMA),
             metrics=LakeTable.create(os.path.join(root, "metrics"), S.METRICS_SCHEMA),
-            change_log=LakeTable.create(os.path.join(root, "change_log"), S.CHANGE_LOG_SCHEMA),
+            change_log=LakeTable.create(
+                os.path.join(root, "change_log"),
+                S.ATTR_CHANGE_LOG_SCHEMA if attr_lww else S.CHANGE_LOG_SCHEMA,
+            ),
             rollup=LakeTable.create(os.path.join(root, "rollup"), S.ROLLUP_SCHEMA),
         )
 
@@ -129,9 +132,13 @@ def apply_batch(
     Per-attribute mode is inferred from the target table: an
     ``attr_lww`` target routes the batch through ``attr_lww_reduce`` →
     ``merge_attrs`` (partial-update events with a ``fields`` column;
-    validation gates payload rules on asserted columns).  Rollup and
-    change-log lineage are whole-row-merge features and are skipped in
-    attr mode."""
+    validation gates payload rules on asserted columns).  Lineage in
+    attr mode is FIELD-level: the change_log sink receives long-format
+    per-(key, column) set/unset images (reference: every attribute
+    assertion is lineage, attribute_assertion.py:8-44), and rollup
+    maintenance folds the row-level images merge_attrs also returns —
+    both with the same exactly-once batch-watermark guards as the
+    whole-row path."""
     from pyspark.sql import Observation
 
     started = _now()
@@ -193,8 +200,11 @@ def apply_batch(
 
         pre_merge_version = pipe.target.current_version() if with_rollup else None
         if attr_mode:
-            stats = pipe.target.merge_attrs(winners.drop("_key_events"))
-            stats["change_log"] = None
+            stats = pipe.target.merge_attrs(
+                winners.drop("_key_events"),
+                change_log_sink=pipe.change_log if with_change_log else None,
+                change_log_extra={"batch_id": batch_id},
+            )
         else:
             stats = pipe.target.merge(
                 winners.drop("_key_events"),
@@ -222,7 +232,7 @@ def apply_batch(
         if quarantined_rows > 0:
             _write_quarantine(pipe, tagged, batch_id, attr_mode, input_rows)
 
-        if with_rollup and not attr_mode:
+        if with_rollup:
             # incremental derived-aggregate maintenance (A3 analogue:
             # the reference recomputes parent MIN/MAX rollups after each
             # ingest, project_loader.py:135-257; here the per-source

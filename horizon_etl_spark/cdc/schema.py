@@ -110,3 +110,22 @@ CHANGE_LOG_SCHEMA = StructType(
         StructField("batch_id", LongType(), True),
     ]
 )
+
+# Attr-mode lineage is LONG format — one row per applied attribute
+# assertion / retraction, the columnar twin of the reference's
+# attribute_assertion + entity_change_log rows
+# (/root/reference/src/tracking/entities/attribute_assertion.py:8-44,
+# /root/reference/src/tracking/entities/entity_change_log.py:8-42).
+# Values are carried as strings (heterogeneous column types share one
+# sink, like the reference's JSON before/after images).
+ATTR_CHANGE_LOG_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), True),
+        StructField("column", StringType(), True),
+        StructField("lsn", LongType(), True),
+        StructField("op_applied", StringType(), True),  # 'set' | 'unset'
+        StructField("before_value", StringType(), True),
+        StructField("after_value", StringType(), True),
+        StructField("batch_id", LongType(), True),
+    ]
+)

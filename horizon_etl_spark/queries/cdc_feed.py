@@ -15,11 +15,30 @@ expression.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from horizon_etl_spark.queries.registry import register, table
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Unique per-invocation scratch dir, removed at interpreter exit.
+    A fixed path rmtree'd on entry would break the lazily-readable
+    DataFrame returned by a previous call, so dirs live for the process
+    lifetime and are GC'd atexit (no /tmp accumulation across repeated
+    ``queries()`` invocations in one driver process)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
 
 # event_type → (op, source) mapping used by both Spark and the oracle:
 # 'purchase' → delete event; 'error' → non-whitelisted source (rows get
@@ -93,10 +112,7 @@ def cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = events_as_feed(spark, sf_dir)
     lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    # unique per-invocation scratch dir: a fixed path rmtree'd on entry
-    # would break the lazily-readable DataFrame returned by a previous
-    # call (and abs(hash(...)) is per-process randomized anyway).
-    root = tempfile.mkdtemp(prefix="cdc_apply_events_")
+    root = _scratch_dir("cdc_apply_events_")
     pipe = CdcPipeline.create(root, bucket_count=8)
     span = max(1, (int(hi) - int(lo) + 3) // 3)  # ceil(n/3)
     for b in range(3):
@@ -150,18 +166,16 @@ def cdc_attr_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     attr kernel (attr_lww_reduce → LakeTable.merge_attrs) in three
     lsn-range micro-batches.  The DuckDB oracle resolves each
     (key, attribute) independently with arg_max + the delete watermark."""
-    from horizon_etl_spark.cdc.attrs import attr_lww_reduce
-    from horizon_etl_spark.tables.lake import LakeTable
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    t, _ = _run_attr_kernel(spark, sf_dir)
+    return t.read(spark).select("doc_id", "score", "label")
 
+
+def _attr_events_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a PARTIAL-update feed: clicks assert only score, views
+    only label, signups both, errors nothing, purchases delete."""
     e = table(spark, sf_dir, "events")
     et = F.col("event_type")
-    feed = e.select(
+    return e.select(
         F.when(et == "purchase", "delete").otherwise("update").alias("op"),
         F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("doc_id"),
         F.col("event_id").alias("lsn"),
@@ -174,8 +188,19 @@ def cdc_attr_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.array().cast("array<string>"))
         .alias("fields"),
     )
+
+
+def _run_attr_kernel(spark: SparkSession, sf_dir: str):
+    """Run the attr-LWW kernel over three lsn-range micro-batches with a
+    field-level change-log sink; returns (target, change_log) tables."""
+    from horizon_etl_spark.cdc.attrs import attr_lww_reduce
+    from horizon_etl_spark.cdc.schema import ATTR_CHANGE_LOG_SCHEMA
+    from horizon_etl_spark.tables.lake import LakeTable
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    feed = _attr_events_feed(spark, sf_dir)
     lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).collect()[0]
-    root = tempfile.mkdtemp(prefix="cdc_attr_lww_")
+    root = _scratch_dir("cdc_attr_lww_")
     t = LakeTable.create(
         f"{root}/target",
         StructType(
@@ -189,13 +214,87 @@ def cdc_attr_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_count=8,
         attr_lww=True,
     )
+    cl = LakeTable.create(f"{root}/change_log", ATTR_CHANGE_LOG_SCHEMA)
     span = max(1, (int(hi) - int(lo) + 3) // 3)
     for b in range(3):
         batch = feed.filter(
             (F.col("lsn") >= int(lo) + b * span) & (F.col("lsn") < int(lo) + (b + 1) * span)
         )
-        t.merge_attrs(attr_lww_reduce(batch))
-    return t.read(spark).select("doc_id", "score", "label")
+        t.merge_attrs(
+            attr_lww_reduce(batch),
+            change_log_sink=cl,
+            change_log_extra={"batch_id": b},
+        )
+    return t, cl
+
+
+@register(
+    "cdc_attr_change_log",
+    oracle="""
+    WITH feed AS (
+      SELECT 'u' || CAST(user_id AS VARCHAR) AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete' ELSE 'update' END AS op,
+             CAST(floor(value * 100) AS BIGINT) AS score_v,
+             upper(event_type) AS label_v,
+             event_type IN ('click', 'signup') AS has_score,
+             event_type IN ('view', 'signup') AS has_label
+      FROM events
+    ), bounds AS (
+      SELECT min(lsn) AS lo,
+             greatest(1, (max(lsn) - min(lsn) + 3) // 3) AS span
+      FROM feed
+    ), cuts AS (
+      SELECT i, lo + i * span AS cut FROM generate_series(0, 3) AS g(i), bounds
+    ), st AS (
+      SELECT c.i, f.doc_id,
+             max(f.lsn) FILTER (WHERE f.op = 'delete') AS dl,
+             max(f.lsn) FILTER (WHERE f.op <> 'delete' AND f.has_score) AS rs,
+             arg_max(f.score_v, f.lsn) FILTER (WHERE f.op <> 'delete' AND f.has_score) AS vs,
+             max(f.lsn) FILTER (WHERE f.op <> 'delete' AND f.has_label) AS rl,
+             arg_max(f.label_v, f.lsn) FILTER (WHERE f.op <> 'delete' AND f.has_label) AS vl
+      FROM cuts c JOIN feed f ON f.lsn < c.cut
+      GROUP BY c.i, f.doc_id
+    ), norm AS (
+      SELECT i, doc_id, dl,
+             CASE WHEN coalesce(rs, -1) > coalesce(dl, -1) THEN rs END AS al_score,
+             CASE WHEN coalesce(rs, -1) > coalesce(dl, -1) THEN vs END AS v_score,
+             CASE WHEN coalesce(rl, -1) > coalesce(dl, -1) THEN rl END AS al_label,
+             CASE WHEN coalesce(rl, -1) > coalesce(dl, -1) THEN vl END AS v_label
+      FROM st
+    ), lng AS (
+      SELECT i, doc_id, 'score' AS col, al_score AS al,
+             CAST(v_score AS VARCHAR) AS val, dl FROM norm
+      UNION ALL
+      SELECT i, doc_id, 'label', al_label, v_label, dl FROM norm
+    )
+    SELECT a.doc_id,
+           a.col AS "column",
+           CAST(coalesce(a.al, a.dl) AS BIGINT) AS lsn,
+           CASE WHEN a.al IS NOT NULL THEN 'set' ELSE 'unset' END AS op_applied,
+           b.val AS before_value,
+           a.val AS after_value,
+           CAST(a.i - 1 AS BIGINT) AS batch_id
+    FROM lng a LEFT JOIN lng b
+      ON b.i = a.i - 1 AND b.doc_id = a.doc_id AND b.col = a.col
+    WHERE a.i > 0 AND a.al IS DISTINCT FROM b.al
+    """,
+)
+def cdc_attr_change_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level CDC lineage end-to-end (reference: every attribute
+    assertion is lineage, attribute_assertion.py:8-44, and every change
+    an entity_change_log row, entity_change_log.py:8-42): the attr
+    kernel's change-log sink after three micro-batches — one 'set' /
+    'unset' row per (key, column) whose winning assertion moved, with
+    before/after values.  The DuckDB oracle recomputes each batch's
+    cumulative per-attribute state at the batch cut points and diffs
+    consecutive states — resolution is a pure function of the event
+    set, so cumulative-state diffs equal the engine's incremental
+    per-batch emissions."""
+    _, cl = _run_attr_kernel(spark, sf_dir)
+    return cl.read(spark).select(
+        "doc_id", "column", "lsn", "op_applied", "before_value", "after_value", "batch_id"
+    )
 
 
 @register(

@@ -680,7 +680,12 @@ class LakeTable:
         }
 
     # ----------------------------------------------------------- merge_attrs
-    def merge_attrs(self, winners: DataFrame) -> dict[str, Any]:
+    def merge_attrs(
+        self,
+        winners: DataFrame,
+        change_log_sink: "LakeTable | None" = None,
+        change_log_extra: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
         """Field-level (per-attribute) LWW MERGE for partial-update
         change events — the reference's core conflict resolution:
         latest *selected assertion* per (entity, attribute) wins
@@ -709,7 +714,18 @@ class LakeTable:
         Unlike whole-row merge, a batch whose max lsn is *lower* than
         the row's — but which asserts a column never asserted before —
         correctly lands that column (the bug class whole-row LWW has
-        with partial updates)."""
+        with partial updates).
+
+        Lineage: ``change_log_sink`` receives LONG-format per-attribute
+        images (one row per (key, column) whose assertion lsn changed:
+        'set' with the new value, 'unset' when a delete watermark killed
+        it) — the columnar twin of the reference's per-assertion lineage
+        (/root/reference/src/tracking/entities/attribute_assertion.py:8-44,
+        entity_change_log.py:8-42); same last-batch idempotence guard as
+        the whole-row merge.  The returned ``change_log`` is the
+        ROW-level before/after image frame (same shape as
+        :meth:`merge`'s) so downstream rollup maintenance is mode-
+        agnostic."""
         snap = self.snapshot()
         assert snap.get("attr_lww"), "merge_attrs requires an attr_lww table"
         spark = winners.sparkSession
@@ -828,6 +844,91 @@ class LakeTable:
         changed = changed | ~new_del.eqNullSafe(F.col("_t_del"))
         t_alive_before = F.col("_t_key").isNotNull() & ~F.col("_t_tomb")
         in_batch = F.col("_s_key").isNotNull()
+
+        # --- field-level lineage: one LONG row per (key, column) whose
+        # assertion lsn moved — 'set' (new winning assertion, its value
+        # and lsn) or 'unset' (killed by the delete watermark, lsn = the
+        # watermark).  Values ride as strings so heterogeneous payload
+        # types share one sink, like the reference's JSON images.
+        per_attr = []
+        for c in payload_cols:
+            new_v, new_al = res[c]
+            t_al = F.col(f"_t_al_{c}")
+            per_attr.append(
+                F.when(
+                    ~new_al.eqNullSafe(t_al),
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(new_al, new_del).alias("lsn"),
+                        F.when(new_al.isNotNull(), F.lit("set"))
+                        .otherwise(F.lit("unset"))
+                        .alias("op_applied"),
+                        F.when(t_al.isNotNull(), F.col(f"_t_{c}").cast("string")).alias(
+                            "before_value"
+                        ),
+                        new_v.cast("string").alias("after_value"),
+                    ),
+                )
+            )
+        attr_changes = (
+            j.filter(in_batch)
+            .select(
+                F.coalesce(F.col("_t_key"), F.col("_s_key")).alias(key),
+                F.explode(F.array_compact(F.array(*per_attr))).alias("_ch"),
+            )
+            .select(
+                key,
+                "_ch.column",
+                "_ch.lsn",
+                "_ch.op_applied",
+                "_ch.before_value",
+                "_ch.after_value",
+            )
+        )
+        if change_log_extra:
+            for k2, v2 in change_log_extra.items():
+                attr_changes = attr_changes.withColumn(k2, F.lit(v2))
+        if change_log_sink is not None:
+            # same idempotence contract as merge(): the append precedes
+            # this merge's commit; a redelivered batch re-derives
+            # identical rows and the exact-batch-id repeat is skipped
+            batch_id = (change_log_extra or {}).get("batch_id")
+            last = (
+                change_log_sink.props.get("last_batch_id")
+                if batch_id is not None
+                else None
+            )
+            if batch_id is None or last is None or batch_id != last:
+                change_log_sink.append(
+                    attr_changes,
+                    operation="attr_change_log",
+                    props={"last_batch_id": batch_id} if batch_id is not None else None,
+                )
+
+        # --- row-level before/after images (same shape as merge()'s
+        # change_log) so rollup maintenance is mode-agnostic
+        atomic_cols = [
+            c
+            for c in payload_cols
+            if not isinstance(table_schema[c].dataType, (ArrayType, MapType, StructType))
+        ]
+        row_op = (
+            F.when(~changed, F.lit("skipped_stale"))
+            .when(~t_alive_before & alive, F.lit("insert"))
+            .when(t_alive_before & alive, F.lit("update"))
+            .when(t_alive_before & ~alive, F.lit("delete"))
+            .otherwise(F.lit("delete_noop"))
+        )
+        row_images = j.filter(in_batch).select(
+            F.coalesce(F.col("_t_key"), F.col("_s_key")).alias(key),
+            row_lsn.alias("lsn"),
+            row_op.alias("op_applied"),
+            *[
+                F.when(t_alive_before, F.col(f"_t_{c}")).alias(f"before_{c}")
+                for c in atomic_cols
+            ],
+            *[F.when(alive, res[c][0]).alias(f"after_{c}") for c in atomic_cols],
+        )
         # exhaustive + disjoint over in_batch rows: ~changed →
         # skipped_stale; changed × (alive_before, alive_after) → the
         # four outcome buckets (delete of an absent/tombstoned key that
@@ -880,6 +981,7 @@ class LakeTable:
             ),
             "rewritten_files": len(rewrite_files),
             "carried_files": len(carry_files),
+            "change_log": row_images,
         }
 
     # ------------------------------------------------------------ overwrite

@@ -284,6 +284,124 @@ def test_attr_compact_preserves_state_and_watermarks(spark, tmp_table_dir):
     assert r["score"] == 9 and r["label"] is None
 
 
+def test_attr_change_log_field_level_lineage(spark, tmp_table_dir):
+    """merge_attrs emits one LONG lineage row per (key, column) whose
+    assertion moved: 'set' with before/after values, 'unset' when the
+    delete watermark kills an attribute; redelivery of the same batch_id
+    appends nothing (exactly-once watermark)."""
+    from horizon_etl_spark.cdc.schema import ATTR_CHANGE_LOG_SCHEMA
+
+    t = make_table(tmp_table_dir)
+    sink = LakeTable.create(
+        os.path.join(tmp_table_dir, "cl"), ATTR_CHANGE_LOG_SCHEMA
+    )
+    b0 = [("update", "a", 1, 10, "x", None), ("update", "b", 2, 2, None, ["score"])]
+    t.merge_attrs(
+        attr_lww_reduce(feed_df(spark, b0)),
+        change_log_sink=sink,
+        change_log_extra={"batch_id": 0},
+    )
+    rows = {(r["doc_id"], r["column"]): r for r in sink.read(spark).collect()}
+    assert set(rows) == {("a", "score"), ("a", "label"), ("b", "score")}
+    assert rows[("a", "score")]["op_applied"] == "set"
+    assert rows[("a", "score")]["before_value"] is None
+    assert rows[("a", "score")]["after_value"] == "10"
+    assert rows[("a", "score")]["lsn"] == 1
+    # batch 1: partial update of a.score (label untouched → no row) and
+    # delete of b (its live score attr → unset at the watermark lsn)
+    b1 = [("update", "a", 5, 99, None, ["score"]), ("delete", "b", 6, None, None, None)]
+    t.merge_attrs(
+        attr_lww_reduce(feed_df(spark, b1)),
+        change_log_sink=sink,
+        change_log_extra={"batch_id": 1},
+    )
+    log = sink.read(spark)
+    b1_rows = {(r["doc_id"], r["column"]): r for r in log.filter(F.col("batch_id") == 1).collect()}
+    assert set(b1_rows) == {("a", "score"), ("b", "score")}
+    assert b1_rows[("a", "score")]["before_value"] == "10"
+    assert b1_rows[("a", "score")]["after_value"] == "99"
+    assert b1_rows[("b", "score")]["op_applied"] == "unset"
+    assert b1_rows[("b", "score")]["before_value"] == "2"
+    assert b1_rows[("b", "score")]["after_value"] is None
+    assert b1_rows[("b", "score")]["lsn"] == 6
+    n_before = log.count()
+    # redelivered batch 1 → same batch_id, zero new lineage rows
+    t.merge_attrs(
+        attr_lww_reduce(feed_df(spark, b1)),
+        change_log_sink=sink,
+        change_log_extra={"batch_id": 1},
+    )
+    assert sink.read(spark).count() == n_before
+
+
+def test_attr_pipeline_rollup_and_change_log(spark, tmp_table_dir):
+    """CdcPipeline in attr mode maintains the per-source rollup from
+    merge_attrs' row-level images (incremental MV), and the pipeline
+    change_log table carries the long-format field lineage; a replayed
+    batch leaves both untouched."""
+    from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+
+    pipe = CdcPipeline.create(
+        os.path.join(tmp_table_dir, "p"), bucket_count=4, attr_lww=True
+    )
+    feed_schema = (
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, "
+        "source string, ts timestamp, fields array<string>"
+    )
+    b0 = spark.createDataFrame(
+        [
+            ("update", "a", 1, [1, 2], 2, "wiki", None, None),
+            ("update", "b", 2, [3], 1, "code", None, None),
+            ("update", "c", 3, [4, 5, 6], 3, "wiki", None, None),
+        ],
+        feed_schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("update", "a", 5, None, None, "books", None, ["source"]),  # doc moves
+            ("delete", "c", 6, None, None, None, None, None),
+            ("update", "d", 7, [7], 1, "code", None, None),
+        ],
+        feed_schema,
+    )
+    apply_batch(pipe, b0, batch_id=0, with_rollup=True, collect_metrics=False)
+    apply_batch(pipe, b1, batch_id=1, with_rollup=True, collect_metrics=False)
+
+    def recomputed():
+        return {
+            r["source"]: (r["n_docs"], r["total_tokens"])
+            for r in pipe.target.read(spark)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("total_tokens"),
+            )
+            .collect()
+        }
+
+    def rollup():
+        return {
+            r["source"]: (r["n_docs"], r["total_tokens"])
+            for r in pipe.rollup.read(spark).collect()
+        }
+
+    assert rollup() == recomputed()
+    assert rollup() == {"books": (1, 2), "code": (2, 2)}
+    # field lineage landed long-format: a's source set books (before wiki)
+    cl = {
+        (r["doc_id"], r["column"]): r
+        for r in pipe.change_log.read(spark).filter(F.col("batch_id") == 1).collect()
+    }
+    assert cl[("a", "source")]["before_value"] == "wiki"
+    assert cl[("a", "source")]["after_value"] == "books"
+    assert cl[("c", "tokens")]["op_applied"] == "unset"
+    n_log = pipe.change_log.read(spark).count()
+    # replayed batch: rollup + lineage unchanged (all skipped_stale)
+    apply_batch(pipe, b1, batch_id=1, with_rollup=True, collect_metrics=False)
+    assert rollup() == recomputed()
+    assert pipe.change_log.read(spark).count() == n_log
+
+
 def test_attr_schema_evolution(spark, tmp_table_dir):
     """A batch asserting a brand-new column evolves the table (payload
     col + its assertion-lsn col), old rows read null."""

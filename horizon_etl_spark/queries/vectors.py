@@ -66,28 +66,14 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_lsh")  # approximate — no SQL oracle (rows-only check)
-def knn_lsh(
-    spark: SparkSession, sf_dir: str, num_tables: int = 16, planes_per_table: int = 4
-) -> DataFrame:
-    """Multi-table random-hyperplane LSH ANN: L independent hash tables
-    of k sign bits each; candidates = pairs sharing a bucket in ANY
-    table (recall grows with L, bucket size shrinks with k — the
-    classic (L, k) tradeoff), then exact cosine re-rank of the
-    candidate union.  All joins are equi-joins on (table_id, bucket) —
-    shuffle ∝ collisions, never |V|².  Measured recall@5 vs brute force
-    on the sf0.001 embeddings (uniform-on-sphere — the hard case):
-    0.67 at L=8/k=4, 0.90 at the default L=16/k=4 at equal wall time
-    (tests/test_ann_quality.py); at larger N raise k to keep buckets
-    bounded and L for recall."""
-    e = with_norm(table(spark, sf_dir, "embeddings"))
-
-    # all L×k hyperplane projections in one Arrow-batched numpy matmul
-    # (the literal-expression formulation built L·k·dim expression
-    # nodes and fell out of codegen — ~20× slower).  The plane matrix
-    # is regenerated per batch from a fixed seed and the batch's own
-    # vector width — identical on every executor, and no driver-side
-    # ``.first()`` probe job just to learn the dimension.
+def lsh_bucket_udf(num_tables: int, planes_per_table: int):
+    """All L×k hyperplane projections in one Arrow-batched numpy matmul
+    (the literal-expression formulation built L·k·dim expression nodes
+    and fell out of codegen — ~20× slower).  The plane matrix is
+    regenerated per batch from a fixed seed and the batch's own vector
+    width — identical on every executor, and no driver-side
+    ``.first()`` probe job just to learn the dimension.  Returns a
+    pandas UDF: vector → array of L bucket ids."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -113,6 +99,25 @@ def knn_lsh(
         ]
         return pd.Series(out)
 
+    return bucket_ids
+
+
+@register("knn_lsh")  # approximate — no SQL oracle (rows-only check)
+def knn_lsh(
+    spark: SparkSession, sf_dir: str, num_tables: int = 16, planes_per_table: int = 4
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN: L independent hash tables
+    of k sign bits each; candidates = pairs sharing a bucket in ANY
+    table (recall grows with L, bucket size shrinks with k — the
+    classic (L, k) tradeoff), then exact cosine re-rank of the
+    candidate union.  All joins are equi-joins on (table_id, bucket) —
+    shuffle ∝ collisions, never |V|².  Measured recall@5 vs brute force
+    on the sf0.001 embeddings (uniform-on-sphere — the hard case):
+    0.67 at L=8/k=4, 0.90 at the default L=16/k=4 at equal wall time
+    (tests/test_ann_quality.py); at larger N raise k to keep buckets
+    bounded and L for recall."""
+    e = with_norm(table(spark, sf_dir, "embeddings"))
+    bucket_ids = lsh_bucket_udf(num_tables, planes_per_table)
     b = (
         e.withColumn("_buckets", bucket_ids(F.col("_v")))
         .select(
@@ -156,9 +161,7 @@ def knn_lsh(
     )
 
 
-@register(
-    "embedding_near_dup",
-    oracle="""
+_NEAR_DUP_ORACLE = """
     WITH base AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v
       FROM embeddings
@@ -172,17 +175,16 @@ def knn_lsh(
     SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b
     FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.9
-    """,
-)
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection, blocked on the label
-    column (the metadata-blocking shape; at 100 TB the block key is an
-    LSH bucket as in ``knn_lsh`` — identical join structure).  The
-    testdata embeddings are uniform on the sphere (no natural pair
-    exceeds cosine 0.5), so deterministic perturbed copies are
-    synthesized (first component scaled+shifted, id offset +1e6); the
-    detector must find exactly those pairs at threshold 0.9 — a wide
-    margin on both sides, so the float comparison is engine-stable."""
+    """
+
+
+def _near_dup_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base embeddings ∪ deterministic perturbed copies (the synthetic
+    ground truth both near-dup variants must recover): the testdata
+    embeddings are uniform on the sphere (no natural pair exceeds
+    cosine 0.5), so every vec_id % 10 == 0 gets a near-copy (first
+    component scaled+shifted, id offset +1e6) — the only pairs above
+    threshold 0.9, with wide float margin on both sides."""
     e = table(spark, sf_dir, "embeddings")
     base = e.select(
         "vec_id",
@@ -197,7 +199,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("v"), 2, F.size("v") - 1),
         ).alias("v"),
     )
-    u = base.unionByName(pert).withColumn("_n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    return base.unionByName(pert).withColumn("_n", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, blocked on the label
+    column — the ORACLE TWIN: exactly reproducible in DuckDB SQL, but
+    quadratic within each label block at scale.  The WIRED 100 TB path
+    is ``embedding_near_dup_lsh`` below (bucket-blocked candidate
+    generation, work ∝ collisions); tests/test_ann_quality.py asserts
+    the two find the identical pair set on the synthesized ground truth
+    — the same twin pattern as ngram_jaccard_pairs / minhash_dedup in
+    text.py."""
+    u = _near_dup_universe(spark, sf_dir)
     a = u.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("la"),
         F.col("v").alias("va"), F.col("_n").alias("na"),
@@ -210,6 +224,55 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
         .filter(sim >= 0.9)
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    )
+
+
+# the driver row stays on the exactly-SQL-checkable twin; the wired
+# scale path below is recall- and plan-gated in tests/test_ann_quality.py
+register("embedding_near_dup", oracle=_NEAR_DUP_ORACLE)(embedding_near_dup)
+
+
+def embedding_near_dup_lsh(
+    spark: SparkSession, sf_dir: str, num_tables: int = 16, planes_per_table: int = 4
+) -> DataFrame:
+    """Embedding-cosine near-dup, WIRED scale path: candidate pairs are
+    vectors sharing a random-hyperplane LSH bucket in ANY of the L
+    tables (the same bucket machinery as ``knn_lsh``), verified by
+    exact cosine ≥ 0.9.  Near-identical vectors (cosine ≥ 0.9) agree on
+    almost every hyperplane sign, so with L=16 tables of k=4 bits the
+    probability of missing a true pair is negligible (~(1-0.97⁴)¹⁶);
+    measured recall on the synthesized perturbed-copy ground truth is
+    1.0 (test_ann_quality.py).  All joins are equi-joins on
+    (table_id, bucket) — shuffle ∝ collisions, never |V|², unlike the
+    label-blocked oracle twin above."""
+    u = _near_dup_universe(spark, sf_dir)
+    bucket_ids = lsh_bucket_udf(num_tables, planes_per_table)
+    b = u.withColumn("_buckets", bucket_ids(F.col("v"))).select(
+        "vec_id", "v", "_n", F.posexplode("_buckets").alias("table_id", "bucket")
+    )
+    a_side = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("_n").alias("na"), "table_id", "bucket",
+    )
+    b_side = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("_n").alias("nb"),
+        F.col("table_id").alias("btable"), F.col("bucket").alias("bbucket"),
+    )
+    cand = (
+        a_side.join(
+            b_side,
+            (F.col("table_id") == F.col("btable"))
+            & (F.col("bucket") == F.col("bbucket"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "va", "na", "id_b", "vb", "nb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.filter(sim >= 0.9)
         .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
     )
 

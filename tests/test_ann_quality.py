@@ -52,6 +52,29 @@ def test_ivf_recall_beats_random_baseline(spark, brute_force):
     assert _recall(spark, "ivf_probe", brute_force) >= 0.3
 
 
+def test_near_dup_lsh_matches_oracle_twin(spark):
+    """The WIRED bucket-blocked near-dup path must recover the exact
+    pair set the label-blocked oracle twin finds on the synthesized
+    perturbed-copy ground truth (recall 1.0 — near-identical vectors
+    agree on nearly every hyperplane sign), and its plan must be a
+    bucket EQUI-join: no cartesian / nested-loop anywhere."""
+    from horizon_etl_spark.queries.vectors import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    wired = embedding_near_dup_lsh(spark, SF_DIR)
+    plan = wired._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["id_a"], r["id_b"]) for r in wired.collect()}
+    truth = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup(spark, SF_DIR).collect()
+    }
+    assert truth, "ground-truth pair set must be non-empty"
+    assert got == truth
+
+
 def test_topk_shape(spark):
     from horizon_etl_spark.queries import QUERIES
     from pyspark.sql import functions as F

@@ -334,6 +334,50 @@ def boolean_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- deep PII scrub
+@register(
+    "pii_deep_scrub",
+    oracle="""
+    SELECT c_custkey,
+           substring(sha256('a' || k || '@example.com' || '|pepper'), 1, 12)
+             || '@anon.lgpd' AS email,
+           CAST(NULL AS VARCHAR) AS phone,
+           'ping ' || substring(sha256('a' || k || '@example.com' || '|pepper'), 1, 12)
+             || '@anon.lgpd at work' AS note0,
+           'LGPD-' || substring(sha256(k || '|pepper'), 1, 16) AS cpf
+    FROM (SELECT c_custkey, CAST(c_custkey AS VARCHAR) AS k FROM customer)
+    """,
+)
+def pii_deep_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-recursive PII scrub of a NESTED payload (reference
+    scrub_pii_deep / scrub_source_record_payload,
+    /root/reference/src/core/logic/pii_anonymizer.py:66-97): a JSON
+    document with an email inside a nested object, the same address
+    embedded in free text inside an array, a phone field, and a CPF
+    field is deep-scrubbed; the oracle derives every expected value
+    directly from the clean inputs (hash formats shared with the flat
+    scrubs — same salt, so depth never changes an identity)."""
+    from horizon_etl_spark.pii import deep_scrub_udf
+
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    js = F.concat(
+        F.lit('{"contact": {"email": "a'), k,
+        F.lit('@example.com", "phone": "555-'), k,
+        F.lit('"}, "notes": ["ping a'), k,
+        F.lit('@example.com at work", "clean"], "cpf": "'), k, F.lit('"}'),
+    )
+    scrub = deep_scrub_udf(phone_keys=("phone",), cpf_keys=("cpf",))
+    s = c.select("c_custkey", scrub(js).alias("js"))
+    return s.select(
+        "c_custkey",
+        F.get_json_object("js", "$.contact.email").alias("email"),
+        F.get_json_object("js", "$.contact.phone").alias("phone"),
+        F.get_json_object("js", "$.notes[0]").alias("note0"),
+        F.get_json_object("js", "$.cpf").alias("cpf"),
+    )
+
+
 # ------------------------------------------------------- combined driver row
 _SUITE = [
     # (family tag, query fn, its oracle SQL, key column, value column)

@@ -151,6 +151,63 @@ def run_attr_cdc_bench(spark, num_events: int, num_keys: int) -> dict:
     return stats
 
 
+def run_rebucket_bench(spark, num_events: int, num_keys: int) -> dict:
+    """Bucket-policy machinery end-to-end AT A SIZE WHERE IT TRIGGERS:
+    a deliberately under-bucketed target (4 buckets, tiny
+    target_rows_per_bucket so the demo fires at bench scale — the
+    default is 4M rows/bucket for real deployments) ingests a feed
+    until the merge-time advisory recommends a bigger layout; the
+    operator path then runs rebucket() (one atomic O(table) rewrite)
+    + compact_buckets(), and the SAME-SIZE next batch is re-timed.
+    Reports the advisory, the rewrite costs, and merge seconds
+    before/after — under-bucketing caps merge-write parallelism at
+    bucket_count tasks, so the post-rebucket batch should be faster on
+    32 cores."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc import schema as S
+    from horizon_etl_spark.cdc.generator import change_feed
+    from horizon_etl_spark.cdc.lww import lww_reduce
+    from horizon_etl_spark.tables.lake import LakeTable
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "rebucket")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    feed = change_feed(
+        spark, num_events, num_keys, seed=44, num_batches=3,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")), partitions=cpus * 2,
+    )
+    feed.write.mode("overwrite").partitionBy("batch").parquet(f"{root}/feed")
+    staged = spark.read.parquet(f"{root}/feed")
+
+    target = LakeTable.create(
+        f"{root}/t", S.TARGET_SCHEMA, key_col="doc_id", bucket_count=4,
+        props={"target_rows_per_bucket": max(1, num_keys // 32)},
+    )
+
+    def merge_batch(b: int) -> float:
+        batch = staged.filter(F.col("batch") == b).drop("batch", "ts")
+        winners = lww_reduce(batch, key="doc_id", order="lsn")
+        t0 = time.time()
+        target.merge(winners)
+        return round(time.time() - t0, 2)
+
+    merge_batch(0)
+    pre_sec = merge_batch(1)
+    advisory = target.snapshot()["summary"].get("rebucket_recommended")
+    out = {"buckets_before": 4, "advisory": advisory, "pre_merge_sec": pre_sec}
+    if advisory:
+        t0 = time.time()
+        target.rebucket(spark, advisory)
+        out["rebucket_sec"] = round(time.time() - t0, 2)
+        out["compact"] = target.compact_buckets(spark, max_files_per_bucket=4)
+        out["post_merge_sec"] = merge_batch(2)
+        out["buckets_after"] = advisory
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -177,6 +234,10 @@ def main() -> None:
     cdc_attr = run_attr_cdc_bench(spark, attr_events, max(1000, attr_events // 20))
     log(f"cdc_attr: {cdc_attr}")
 
+    rb_events = int(os.environ.get("BENCH_REBUCKET_EVENTS", num_events // 2))
+    rebucket = run_rebucket_bench(spark, rb_events, max(1000, rb_events // 10))
+    log(f"rebucket: {rebucket}")
+
     from horizon_etl_spark.queries import QUERIES
 
     names = os.environ.get("BENCH_QUERIES")
@@ -197,6 +258,7 @@ def main() -> None:
         "cpus": cpus,
         "cdc": cdc,
         "cdc_attr": cdc_attr,
+        "rebucket": rebucket,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -491,7 +491,12 @@ def reprocess_quarantine(
     the quarantine table) — the residue rewrite distinguishes
     still-invalid rows from consumed ones by it."""
     q = pipe.quarantine.read(spark)
-    feed = q.drop("reason", "batch_id")
+    # crash-residue dedup: a crash between apply_batch's quarantine
+    # append (residue under the fresh batch_id) and the overwrite below
+    # leaves the table holding the old rows PLUS their residue copies;
+    # events are byte-identical per (doc_id, lsn), so one dropDuplicates
+    # keeps reprocessing (and the residue it rewrites) duplicate-free
+    feed = q.drop("reason", "batch_id").dropDuplicates(["doc_id", "lsn"])
     if feed.limit(1).count() == 0:
         return None
     max_existing = q.agg(F.max("batch_id")).collect()[0][0]

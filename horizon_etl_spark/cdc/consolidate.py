@@ -46,6 +46,11 @@ def consolidation_mapping(
     dropped entirely (homonym guard, :86-96)."""
     quality = F.col(quality_col) if quality_col else F.lit(0)
     e = entities.withColumn("_canon", norm_name(F.col(name_col)))
+    # null/blank canonical names are NOT duplicate groups: without this
+    # guard every unnamed entity would collapse into one group and be
+    # merged into an arbitrary winner (the reference skips them
+    # explicitly, person_consolidator.py 'if canonical:')
+    e = e.filter(F.col("_canon").isNotNull() & (F.col("_canon") != ""))
     if conflict_col is not None:
         ok = (
             e.groupBy("_canon")

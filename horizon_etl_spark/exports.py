@@ -24,13 +24,65 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
+import time
 import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from horizon_etl_spark.tables.lake import LakeTable
+
+_GC_AGE_SECONDS = 3600.0
+
+
+def _gc_artifacts(art_root: str, out_dir: str, name: str) -> None:
+    """Age-gated GC of crash leftovers and superseded artifacts.
+
+    Safety rails (each closes a real deletion bug):
+      * EXACT name match — ``^<name>-(legacy-)?[0-9a-f]{8}$`` or a
+        ``.stage-`` dir — never the prefix-sharing artifacts of another
+        export (exporting 'foo' must not sweep 'foo-bar-<hex>');
+      * every CURRENT artifact is protected by realpath: the realpath
+        of every symlink in ``out_dir`` is exempt, and candidates are
+        compared by realpath too (symlinked out_dirs);
+      * the mtime age gate (default 1h) protects a concurrently RUNNING
+        exporter's stage AND gives readers that resolved the previous
+        symlink a grace window before the superseded artifact goes away
+        (no eager delete at publish time)."""
+    cutoff = time.time() - _GC_AGE_SECONDS
+    protected = set()
+    for entry in os.listdir(out_dir):
+        p = os.path.join(out_dir, entry)
+        if os.path.islink(p):
+            protected.add(os.path.realpath(p))
+    pat = re.compile(r"^(?:\.stage-.+|%s-(?:legacy-)?[0-9a-f]{8})$" % re.escape(name))
+    for d in os.listdir(art_root):
+        full = os.path.join(art_root, d)
+        if os.path.realpath(full) in protected:
+            continue
+        if pat.match(d) and os.path.getmtime(full) < cutoff:
+            shutil.rmtree(full, ignore_errors=True)
+
+
+def _publish(art_root: str, out_dir: str, name: str, stage: str) -> str:
+    """Atomically publish a fully-written stage dir: rename it into the
+    artifact container, then replace the ``out_dir/<name>`` SYMLINK in
+    one os.rename — at every instant readers resolve either the
+    complete old artifact or the complete new one.  The superseded
+    artifact is intentionally left on disk for the next run's age-gated
+    GC (readers mid-scan keep a grace window)."""
+    artifact = os.path.join(art_root, f"{name}-{uuid.uuid4().hex[:8]}")
+    os.rename(stage, artifact)
+    link = os.path.join(out_dir, name)
+    if os.path.exists(link) and not os.path.islink(link):
+        # legacy plain-dir artifact from an older layout: move it aside
+        os.rename(link, os.path.join(art_root, f"{name}-legacy-{uuid.uuid4().hex[:8]}"))
+    tmp_link = os.path.join(out_dir, f".link-{uuid.uuid4().hex[:8]}")
+    os.symlink(os.path.relpath(artifact, out_dir), tmp_link)
+    os.rename(tmp_link, link)  # atomic replace of the previous symlink
+    return link
 
 
 def export_table(
@@ -62,8 +114,6 @@ def export_table(
     canonical_exporter.py:989 ORDER BY id) — sorted WITHIN partitions
     (cheap) since the equality contract is order-insensitive.
     """
-    import time
-
     v = table.current_version() if version is None else version
     df = table.read(spark, version=v)
     if scrub is not None:
@@ -73,17 +123,7 @@ def export_table(
 
     art_root = os.path.join(out_dir, ".artifacts")
     os.makedirs(art_root, exist_ok=True)
-    link = os.path.join(out_dir, name)
-    # GC abandoned stage dirs and superseded artifacts — age-gated
-    # (default 1h) so a live concurrent exporter is never swept
-    cutoff = time.time() - _GC_AGE_SECONDS
-    current_target = os.path.realpath(link) if os.path.islink(link) else None
-    for d in os.listdir(art_root):
-        full = os.path.join(art_root, d)
-        if full == current_target:
-            continue
-        if d.startswith((".stage-", f"{name}-")) and os.path.getmtime(full) < cutoff:
-            shutil.rmtree(full, ignore_errors=True)
+    _gc_artifacts(art_root, out_dir, name)
 
     stage = os.path.join(art_root, f".stage-{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
@@ -122,22 +162,8 @@ def export_table(
         shutil.rmtree(stage, ignore_errors=True)
         raise
 
-    artifact = os.path.join(art_root, f"{name}-{uuid.uuid4().hex[:8]}")
-    os.rename(stage, artifact)
-    if os.path.exists(link) and not os.path.islink(link):
-        # legacy plain-dir artifact from an older layout: move it aside
-        os.rename(link, os.path.join(art_root, f"{name}-legacy-{uuid.uuid4().hex[:8]}"))
-    tmp_link = os.path.join(out_dir, f".link-{uuid.uuid4().hex[:8]}")
-    os.symlink(os.path.relpath(artifact, out_dir), tmp_link)
-    os.rename(tmp_link, link)  # atomic replace of the previous symlink
-    if current_target and os.path.isdir(current_target):
-        # previous artifact is superseded; eager GC (readers mid-scan of
-        # the old artifact should pin it via manifest path if needed)
-        shutil.rmtree(current_target, ignore_errors=True)
+    link = _publish(art_root, out_dir, name, stage)
     return {"path": link, "version": v, "n_rows": n_rows}
-
-
-_GC_AGE_SECONDS = 3600.0
 
 
 def export_filtered_views(
@@ -176,6 +202,63 @@ def export_filtered_views(
             **kwargs,
         )
     return results
+
+
+def export_graph(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+    name: str,
+    source_version: int | None = None,
+) -> dict:
+    """Graph-shaped export artifact: the graph split into ``nodes/``
+    and ``edges/`` zstd-Parquet tables with per-table ``.cols.json``
+    sidecars and one manifest — the reference's graph export splits
+    each NetworkX graph into exactly this nodes/edges Parquet pair
+    (/root/reference/src/scripts/export_parquet.py:31-80).
+
+    Published with the same staged-artifact + symlink-swap atomicity as
+    ``export_table``: readers always see a CONSISTENT (nodes, edges)
+    pair — never nodes from one version with edges from another.
+    ``source_version`` pins the snapshot the caller derived the graph
+    from (recorded in the manifest for lineage)."""
+    art_root = os.path.join(out_dir, ".artifacts")
+    os.makedirs(art_root, exist_ok=True)
+    _gc_artifacts(art_root, out_dir, name)
+
+    stage = os.path.join(art_root, f".stage-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    try:
+        counts = {}
+        for part, df in (("nodes", nodes), ("edges", edges)):
+            df.write.option("compression", "zstd").parquet(os.path.join(stage, part))
+            cols = [
+                {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+                for f in df.schema.fields
+            ]
+            with open(os.path.join(stage, f"{part}.cols.json"), "w") as fh:
+                json.dump(cols, fh, indent=2)
+            counts[part] = spark.read.parquet(os.path.join(stage, part)).count()
+        manifest = {
+            "name": name,
+            "kind": "graph",
+            "source_version": source_version,
+            "n_nodes": counts["nodes"],
+            "n_edges": counts["edges"],
+            "node_columns": nodes.columns,
+            "edge_columns": edges.columns,
+        }
+        with open(os.path.join(stage, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2)
+            fh.flush()
+            os.fsync(fh.fileno())
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    link = _publish(art_root, out_dir, name, stage)
+    return {"path": link, "n_nodes": counts["nodes"], "n_edges": counts["edges"]}
 
 
 def read_export(spark: SparkSession, out_dir: str, name: str, fmt: str = "parquet") -> DataFrame:

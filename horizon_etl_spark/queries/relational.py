@@ -547,6 +547,28 @@ def supplier_pair_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ends.groupBy("supp").agg(F.count(F.lit(1)).alias("degree"))
 
 
+def cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted co-supply edge list (sa, sb, w): suppliers co-occurring
+    in an order, weight = number of co-supplied orders — the graph the
+    reference exports as a nodes/edges Parquet pair
+    (export_parquet.py:31-80; see exports.export_graph)."""
+    l = table(spark, sf_dir, "lineitem")
+    os_ = l.select("l_orderkey", "l_suppkey").distinct()
+    a = os_.alias("a")
+    b = os_.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
 @register(
     "cosupply_weighted_degree",
     oracle="""
@@ -571,21 +593,7 @@ def cosupply_weighted_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     (people_collaboration_graph_generator.py:83-94).  Pair generation is
     blocked per order (bounded fan-out: per-order supplier sets are
     small), never an unblocked self-join."""
-    l = table(spark, sf_dir, "lineitem")
-    os_ = l.select("l_orderkey", "l_suppkey").distinct()
-    a = os_.alias("a")
-    b = os_.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-    )
+    edges = cosupply_edges(spark, sf_dir)
     ends = edges.select(F.col("sa").alias("supp"), "w").unionByName(
         edges.select(F.col("sb").alias("supp"), "w")
     )

@@ -92,6 +92,29 @@ def test_mapping_winner_and_homonym_guard(spark, tmp_table_dir):
     assert m == {1: 2, 3: 2}
 
 
+def test_mapping_skips_null_and_blank_names(spark):
+    """Null/blank canonical names are not duplicate groups: unnamed
+    entities must never merge into one arbitrary winner (reference
+    person_consolidator 'if canonical:' skip)."""
+    e = spark.createDataFrame(
+        [
+            (1, None, 10.0),
+            (2, "", 20.0),
+            (3, "   ", 30.0),
+            (4, "Ana", 5.0),
+            (5, "ana ", 1.0),
+        ],
+        "id long, name string, quality double",
+    )
+    m = {
+        r["loser_id"]: r["winner_id"]
+        for r in consolidation_mapping(
+            e, id_col="id", name_col="name", quality_col="quality"
+        ).collect()
+    }
+    assert m == {5: 4}, "only the real duplicate group merges"
+
+
 def test_consolidate_transaction(spark, tmp_table_dir):
     ent, refs, lineage = build(spark, tmp_table_dir)
     mapping = consolidation_mapping(

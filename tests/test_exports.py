@@ -88,11 +88,75 @@ def test_export_scrub_hook_and_atomic_replace(spark, tmp_table_dir):
     os.makedirs(young)
     os.makedirs(old_stage)
     os.utime(old_stage, (1, 1))
+    prev_target = os.path.realpath(os.path.join(out, "target"))
     export_table(spark, pipe.target, out, "target")  # unscrubbed now
     pq2 = read_export(spark, out, "target", "parquet")
     assert pq2.filter(F.col("doc_id").startswith("LGPD-")).count() == 0
     assert os.path.isdir(young), "age gate must protect live stages"
     assert not os.path.isdir(old_stage), "old crashed stages are swept"
-    # superseded artifact was GC'd: only the current target (+ young stage) remain
+    # the SUPERSEDED artifact survives the publish (grace window for
+    # readers that resolved the old symlink moments earlier) ...
+    assert os.path.isdir(prev_target), "no eager delete of the old artifact"
     targets = [d for d in os.listdir(art) if d.startswith("target-")]
-    assert len(targets) == 1
+    assert len(targets) == 2
+    # ... and is swept by the NEXT run once past the age gate
+    os.utime(prev_target, (1, 1))
+    export_table(spark, pipe.target, out, "target")
+    assert not os.path.isdir(prev_target), "aged superseded artifact is GC'd"
+
+
+def test_gc_never_sweeps_prefix_sharing_or_current_artifacts(spark, tmp_table_dir):
+    """Exporting 'foo' must never sweep artifacts of 'foo-bar' (exact
+    name-regex match) nor any artifact a symlink currently points to
+    (realpath protection), however old they are."""
+    feed = change_feed(spark, 500, 40, seed=25, num_batches=1, max_len=8)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    replay(pipe, feed)
+    out = os.path.join(tmp_table_dir, "exports")
+    export_table(spark, pipe.target, out, "foo-bar", formats=("parquet",))
+    export_table(spark, pipe.target, out, "foo", formats=("parquet",))
+    art = os.path.join(out, ".artifacts")
+    other = os.path.realpath(os.path.join(out, "foo-bar"))
+    mine = os.path.realpath(os.path.join(out, "foo"))
+    os.utime(other, (1, 1))
+    os.utime(mine, (1, 1))
+    export_table(spark, pipe.target, out, "foo", formats=("parquet",))
+    assert os.path.isdir(other), "prefix-sharing export must survive GC"
+    assert read_export(spark, out, "foo-bar", "parquet").count() > 0
+    # 'mine' was current at GC time (symlink realpath) → protected even aged
+    assert os.path.isdir(mine)
+
+
+def test_graph_export_round_trips_nodes_and_edges(spark, tmp_table_dir):
+    """Graph artifact (reference export_parquet.py:31-80 nodes/edges
+    split): the published pair round-trips the query output and the
+    manifest pins counts + source version."""
+    from horizon_etl_spark.exports import export_graph, export_manifest
+    from horizon_etl_spark.queries.relational import cosupply_edges
+
+    sf_dir = "/root/testdata/sf0.001"
+    edges = cosupply_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("sa").alias("supp"), "w")
+        .unionByName(edges.select(F.col("sb").alias("supp"), "w"))
+        .groupBy("supp")
+        .agg(F.count(F.lit(1)).alias("degree"), F.sum("w").alias("weighted_degree"))
+    )
+    out = os.path.join(tmp_table_dir, "exports")
+    res = export_graph(spark, nodes, edges, out, "cosupply", source_version=7)
+
+    link = os.path.join(out, "cosupply")
+    assert os.path.islink(link), "graph publish is the same symlink swap"
+    got_nodes = spark.read.parquet(os.path.join(link, "nodes"))
+    got_edges = spark.read.parquet(os.path.join(link, "edges"))
+    assert sorted(map(tuple, got_edges.collect())) == sorted(map(tuple, edges.collect()))
+    assert sorted(map(tuple, got_nodes.collect())) == sorted(map(tuple, nodes.collect()))
+    man = export_manifest(out, "cosupply")
+    assert man["kind"] == "graph" and man["source_version"] == 7
+    assert man["n_nodes"] == res["n_nodes"] == nodes.count()
+    assert man["n_edges"] == res["n_edges"] == edges.count()
+    # edge endpoints all resolve to exported nodes (consistent pair)
+    sa = got_edges.select(F.col("sa").alias("supp")).unionByName(
+        got_edges.select(F.col("sb").alias("supp"))
+    )
+    assert sa.join(got_nodes, "supp", "left_anti").count() == 0

@@ -49,6 +49,34 @@ def test_reprocess_after_whitelist_widening(spark, tmp_table_dir):
     assert pipe.target.read(spark).count() == 3
 
 
+def test_reprocess_crash_residue_does_not_duplicate(spark, tmp_table_dir):
+    """Crash window between the reprocess apply (which appends residue
+    under the fresh batch_id) and the quarantine overwrite: the table
+    briefly holds old rows + residue copies.  The next reprocess must
+    NOT double the residue — the feed is deduped on (doc_id, lsn)."""
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    rows = [
+        ("insert", "d", None, [4], 1, "wiki", None),  # null_lsn — unfixable
+        ("insert", "e", 5, [5], 1, "forum", None),    # bad_source — unfixable here
+    ]
+    apply_batch(pipe, _feed(spark, rows), batch_id=0)
+    assert pipe.quarantine.read(spark).count() == 2
+
+    # simulate the crash: run the apply stage of a reprocess (residue
+    # re-appended under batch 100) but SKIP the overwrite — exactly the
+    # state reprocess_quarantine leaves if it dies mid-way
+    feed = pipe.quarantine.read(spark).drop("reason", "batch_id")
+    apply_batch(pipe, feed, batch_id=100, collect_metrics=False, with_change_log=False)
+    assert pipe.quarantine.read(spark).count() == 4, "crash residue present"
+
+    run = reprocess_quarantine(pipe, spark, batch_id=101)
+    assert run["quarantined"] == 2, "deduped feed re-quarantines each row once"
+    q = pipe.quarantine.read(spark).collect()
+    assert len(q) == 2
+    assert {r["doc_id"] for r in q} == {"d", "e"}
+    assert all(r["batch_id"] == 101 for r in q)
+
+
 def test_reprocess_empty_quarantine_is_noop(spark, tmp_table_dir):
     pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
     v = pipe.quarantine.current_version()

@@ -157,12 +157,15 @@ def run_rebucket_bench(spark, num_events: int, num_keys: int) -> dict:
     target_rows_per_bucket so the demo fires at bench scale — the
     default is 4M rows/bucket for real deployments) ingests a feed
     until the merge-time advisory recommends a bigger layout; the
-    operator path then runs rebucket() (one atomic O(table) rewrite)
-    + compact_buckets(), and the SAME-SIZE next batch is re-timed.
-    Reports the advisory, the rewrite costs, and merge seconds
-    before/after — under-bucketing caps merge-write parallelism at
-    bucket_count tasks, so the post-rebucket batch should be faster on
-    32 cores."""
+    operator path then runs rebucket() (one atomic O(table) rewrite),
+    re-times the SAME-SIZE next batch on the new layout, and finishes
+    with a selective compact_buckets() sweep.  What this evidences is
+    the POLICY LOOP
+    (advisory fires → rewrite is cheap and atomic → merges keep working
+    → small files get compacted); the throughput effect of bucket count
+    is only visible at row counts where a bucket exceeds one task's
+    comfortable write size — at bench scale pre/post merge seconds are
+    within noise, and that's expected."""
     from pyspark.sql import functions as F
 
     from horizon_etl_spark.cdc import schema as S
@@ -201,9 +204,16 @@ def run_rebucket_bench(spark, num_events: int, num_keys: int) -> dict:
         t0 = time.time()
         target.rebucket(spark, advisory)
         out["rebucket_sec"] = round(time.time() - t0, 2)
-        out["compact"] = target.compact_buckets(spark, max_files_per_bucket=4)
         out["post_merge_sec"] = merge_batch(2)
         out["buckets_after"] = advisory
+        # selective small-file pass: with UNIFORM keys every merge fully
+        # rewrites the buckets it touches (copy-on-write self-compacts),
+        # so 0 compacted buckets here is the expected healthy reading;
+        # multi-file buckets arise under range-local feeds where min/max
+        # pruning carries files (exercised in tests/test_lake.py)
+        t0 = time.time()
+        out["compact"] = target.compact_buckets(spark, max_files_per_bucket=1)
+        out["compact_sec"] = round(time.time() - t0, 2)
     shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -402,6 +402,63 @@ def test_attr_pipeline_rollup_and_change_log(spark, tmp_table_dir):
     assert pipe.change_log.read(spark).count() == n_log
 
 
+def test_attr_change_log_replay_reconstructs_state(spark, tmp_table_dir):
+    """Lineage COMPLETENESS: the field-level change log alone must
+    reconstruct the final table state — fold each (key, column)'s
+    latest set/unset image (by batch order) and compare against the
+    live rows.  If any applied assertion ever skipped the log, or a
+    spurious row were logged, this diverges."""
+    from horizon_etl_spark.cdc.schema import ATTR_CHANGE_LOG_SCHEMA
+
+    rng = random.Random(9)
+    keys = [f"d{i}" for i in range(25)]
+    rows = []
+    for lsn in range(1, 300):
+        k = rng.choice(keys)
+        r = rng.random()
+        if r < 0.15:
+            rows.append(("delete", k, lsn, None, None, None))
+        else:
+            fields = (
+                None if r < 0.4 else ["score"] if r < 0.7 else ["label"]
+            )
+            rows.append(("update", k, lsn, rng.randrange(100), f"v{lsn}", fields))
+    t = make_table(tmp_table_dir)
+    sink = LakeTable.create(os.path.join(tmp_table_dir, "cl"), ATTR_CHANGE_LOG_SCHEMA)
+    sz = (len(rows) + 2) // 3
+    for b in range(3):
+        t.merge_attrs(
+            attr_lww_reduce(feed_df(spark, rows[b * sz : (b + 1) * sz])),
+            change_log_sink=sink,
+            change_log_extra={"batch_id": b},
+        )
+    log = sink.read(spark)
+    latest = (
+        log.groupBy("doc_id", "column")
+        .agg(
+            F.max_by(
+                F.struct("op_applied", "after_value"), F.col("batch_id")
+            ).alias("w")
+        )
+        .select("doc_id", "column", "w.op_applied", "w.after_value")
+    )
+    rebuilt = {}
+    for r in latest.collect():
+        if r["op_applied"] == "set":
+            rebuilt.setdefault(r["doc_id"], {})[r["column"]] = r["after_value"]
+    expected = {
+        r["doc_id"]: {
+            c: (str(r[c]) if r[c] is not None else None) for c in ("score", "label")
+        }
+        for r in t.read(spark).collect()
+    }
+    # normalize: reconstruct missing columns as None
+    rebuilt = {
+        k: {c: v.get(c) for c in ("score", "label")} for k, v in rebuilt.items()
+    }
+    assert rebuilt == expected
+
+
 def test_attr_schema_evolution(spark, tmp_table_dir):
     """A batch asserting a brand-new column evolves the table (payload
     col + its assertion-lsn col), old rows read null."""

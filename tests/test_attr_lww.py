@@ -216,6 +216,15 @@ def test_attr_mode_stream_end_to_end(spark, tmp_table_dir):
     assert got == expected
     q = pipe.quarantine.read(spark).collect()
     assert len(q) == 1 and q[0]["reason"] == "empty_tokens" and q[0]["doc_id"] == "bad"
+    # field-level lineage flows through the STREAMING path too: the
+    # long-format change log has set rows for asserted columns and
+    # unset rows for delete-killed ones
+    cl = pipe.change_log.read(spark)
+    assert set(cl.columns) >= {"doc_id", "column", "lsn", "op_applied",
+                               "before_value", "after_value", "batch_id"}
+    ops = {r["op_applied"] for r in cl.select("op_applied").distinct().collect()}
+    assert ops == {"set", "unset"}
+    assert cl.count() > 0
 
 
 def test_attr_pipeline_accepts_fieldless_batches(spark, tmp_table_dir):

@@ -177,13 +177,18 @@ def apply_batch(
         # (doc_id, lsn) rows are byte-identical, so max_by keeps exactly
         # one; cross-batch dups are killed by the merge lsn-guard.
         valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+        if salted_lww == "auto":
+            salted_lww = _last_batch_was_skewed(pipe, spark)
         if attr_mode:
-            from horizon_etl_spark.cdc.attrs import attr_lww_reduce
+            from horizon_etl_spark.cdc.attrs import (
+                attr_lww_reduce,
+                attr_lww_reduce_salted,
+            )
 
-            winners = attr_lww_reduce(valid.drop("ts"), with_counts=True).persist()
+            reducer = attr_lww_reduce_salted if salted_lww else attr_lww_reduce
+            kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
+            winners = reducer(valid.drop("ts"), with_counts=True, **kwargs).persist()
         else:
-            if salted_lww == "auto":
-                salted_lww = _last_batch_was_skewed(pipe, spark)
             reducer = lww_reduce_salted if salted_lww else lww_reduce
             kwargs = {"salt_buckets": salt_buckets} if salted_lww else {}
             winners = reducer(

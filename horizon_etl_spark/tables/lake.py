@@ -546,14 +546,31 @@ class LakeTable:
             *[F.col(c).alias(f"_t_{c}") for c in data_cols if c != key],
         )
         j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer")
-        j = j.persist()  # consumed 3×: merged write, change log, stats
+        j = j.persist()  # consumed by merged write, change log, stats
 
         fresh = F.col("_s_key").isNotNull() & (
             F.col("_t_key").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
         )
         is_del = F.col("_s_op") == F.lit(delete_op)
 
-        merged = j.select(
+        # merge stats RIDE the data write via an Observation on the
+        # joined frame (no separate aggregation pass over j); the
+        # cache-scan fallback below covers degenerate plans where
+        # Catalyst elides the CollectMetrics node
+        from pyspark.sql import Observation
+
+        stat_exprs = {
+            "batch_rows": F.sum(F.when(F.col("_s_key").isNotNull(), 1).otherwise(0)),
+            "inserted": F.sum(F.when(fresh & ~is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), 1).otherwise(0)),
+            "updated": F.sum(F.when(fresh & ~is_del & F.col("_t_key").isNotNull() & ~F.col("_t_tomb"), 1).otherwise(0)),
+            "deleted": F.sum(F.when(fresh & is_del & F.col("_t_key").isNotNull() & ~F.col("_t_tomb"), 1).otherwise(0)),
+            "delete_noop": F.sum(F.when(fresh & is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), 1).otherwise(0)),
+            "skipped_stale": F.sum(F.when(F.col("_s_key").isNotNull() & ~fresh, 1).otherwise(0)),
+        }
+        obs = Observation(f"merge_v{snap['version'] + 1}")
+        jo = j.observe(obs, *[e.alias(k) for k, e in stat_exprs.items()])
+
+        merged = jo.select(
             F.coalesce(F.col("_t_key"), F.col("_s_key")).alias(key),
             F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL),
             F.when(fresh, F.col("_s_lsn")).otherwise(F.col("_t_lsn")).alias(LSN_COL),
@@ -628,17 +645,12 @@ class LakeTable:
                     props={"last_batch_id": batch_id} if batch_id is not None else None,
                 )
 
-        stats_row = (
-            j.agg(
-                F.count(F.lit(1)).alias("joined"),
-                F.sum(F.when(F.col("_s_key").isNotNull(), 1).otherwise(0)).alias("batch_rows"),
-                F.sum(F.when(fresh & ~is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), 1).otherwise(0)).alias("inserted"),
-                F.sum(F.when(fresh & ~is_del & F.col("_t_key").isNotNull() & ~F.col("_t_tomb"), 1).otherwise(0)).alias("updated"),
-                F.sum(F.when(fresh & is_del & F.col("_t_key").isNotNull() & ~F.col("_t_tomb"), 1).otherwise(0)).alias("deleted"),
-                F.sum(F.when(fresh & is_del & (F.col("_t_key").isNull() | F.col("_t_tomb")), 1).otherwise(0)).alias("delete_noop"),
-                F.sum(F.when(F.col("_s_key").isNotNull() & ~fresh, 1).otherwise(0)).alias("skipped_stale"),
-            )
-        ).collect()[0]
+        try:
+            stats_row = dict(obs.get)
+        except Exception:
+            stats_row = j.agg(
+                *[e.alias(k) for k, e in stat_exprs.items()]
+            ).collect()[0].asDict()
         j.unpersist()
 
         summary = {
@@ -817,7 +829,29 @@ class LakeTable:
         new_del = F.when(del_m >= 0, del_m)
         row_lsn = _greatest([F.coalesce(new_del, F.lit(-1))] + alsns)
 
-        merged = j.select(
+        changed = F.lit(False)
+        for c in payload_cols:
+            changed = changed | ~res[c][1].eqNullSafe(F.col(f"_t_al_{c}"))
+        changed = changed | ~new_del.eqNullSafe(F.col("_t_del"))
+        t_alive_before = F.col("_t_key").isNotNull() & ~F.col("_t_tomb")
+        in_batch = F.col("_s_key").isNotNull()
+
+        # merge stats ride the data write (same Observation shape as
+        # merge(); fallback covers metrics-elided degenerate plans)
+        from pyspark.sql import Observation
+
+        stat_exprs = {
+            "batch_rows": F.sum(F.when(in_batch, 1).otherwise(0)),
+            "inserted": F.sum(F.when(in_batch & changed & ~t_alive_before & alive, 1).otherwise(0)),
+            "updated": F.sum(F.when(in_batch & changed & t_alive_before & alive, 1).otherwise(0)),
+            "deleted": F.sum(F.when(in_batch & changed & t_alive_before & ~alive, 1).otherwise(0)),
+            "delete_noop": F.sum(F.when(in_batch & changed & ~t_alive_before & ~alive, 1).otherwise(0)),
+            "skipped_stale": F.sum(F.when(in_batch & ~changed, 1).otherwise(0)),
+        }
+        obs = Observation(f"merge_attrs_v{snap['version'] + 1}")
+        jo = j.observe(obs, *[e.alias(k) for k, e in stat_exprs.items()])
+
+        merged = jo.select(
             F.coalesce(F.col("_t_key"), F.col("_s_key")).alias(key),
             F.coalesce(F.col("_t_bucket"), F.col("_s_bucket")).alias(BUCKET_COL),
             row_lsn.alias(LSN_COL),
@@ -837,13 +871,6 @@ class LakeTable:
             merged.select(BUCKET_COL, *ordered), version, bucketed=True
         )
         files = carry_files + new_files
-
-        changed = F.lit(False)
-        for c in payload_cols:
-            changed = changed | ~res[c][1].eqNullSafe(F.col(f"_t_al_{c}"))
-        changed = changed | ~new_del.eqNullSafe(F.col("_t_del"))
-        t_alive_before = F.col("_t_key").isNotNull() & ~F.col("_t_tomb")
-        in_batch = F.col("_s_key").isNotNull()
 
         # --- field-level lineage: one LONG row per (key, column) whose
         # assertion lsn moved — 'set' (new winning assertion, its value
@@ -934,16 +961,12 @@ class LakeTable:
         # four outcome buckets (delete of an absent/tombstoned key that
         # advances the watermark counts as delete_noop, matching the
         # whole-row merge's semantics)
-        stats_row = (
-            j.agg(
-                F.sum(F.when(in_batch, 1).otherwise(0)).alias("batch_rows"),
-                F.sum(F.when(in_batch & changed & ~t_alive_before & alive, 1).otherwise(0)).alias("inserted"),
-                F.sum(F.when(in_batch & changed & t_alive_before & alive, 1).otherwise(0)).alias("updated"),
-                F.sum(F.when(in_batch & changed & t_alive_before & ~alive, 1).otherwise(0)).alias("deleted"),
-                F.sum(F.when(in_batch & changed & ~t_alive_before & ~alive, 1).otherwise(0)).alias("delete_noop"),
-                F.sum(F.when(in_batch & ~changed, 1).otherwise(0)).alias("skipped_stale"),
-            )
-        ).collect()[0]
+        try:
+            stats_row = dict(obs.get)
+        except Exception:
+            stats_row = j.agg(
+                *[e.alias(k) for k, e in stat_exprs.items()]
+            ).collect()[0].asDict()
         j.unpersist()
 
         summary = {

@@ -22,6 +22,7 @@ end-to-end exactly-once without coordination.
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 from datetime import datetime, timezone
@@ -99,6 +100,12 @@ def _now():
 
 
 HOT_KEY_SHARE_THRESHOLD = 0.05  # hottest key > 5% of batch events → salt
+
+# Tables covered by coordinated pipeline rollback.  ``runs`` is the
+# audit log and is deliberately NOT rolled back (rollbacks must stay
+# visible in it, like the reference's ingestion_run history,
+# /root/reference/src/tracking/entities/ingestion_run.py:8-29).
+ROLLBACK_TABLES = ("target", "quarantine", "metrics", "change_log", "rollup")
 
 
 def apply_batch(
@@ -273,6 +280,14 @@ def apply_batch(
                 f"del={stats['deleted']} rewrote={stats['rewritten_files']} "
                 f"carried={stats['carried_files']} salted={bool(salted_lww)}"
             ),
+            # per-table snapshot anchor for rollback_to_batch (cheap:
+            # driver-side directory listings, no data scan)
+            "versions": json.dumps(
+                {
+                    name: getattr(pipe, name).current_version()
+                    for name in ROLLBACK_TABLES
+                }
+            ),
         }
         pipe.runs.append(
             spark.createDataFrame([run], S.RUNS_SCHEMA), operation=f"run(batch={batch_id})"
@@ -291,6 +306,7 @@ def apply_batch(
             "skipped_stale": None,
             "delete_noop": None,
             "notes": "exception during apply",
+            "versions": None,
         }
         try:
             pipe.runs.append(spark.createDataFrame([failed], S.RUNS_SCHEMA))
@@ -568,3 +584,71 @@ def replay(
             )
         )
     return results
+
+
+def rollback_to_batch(
+    pipe: CdcPipeline, spark: SparkSession, batch_id: int
+) -> dict[str, int]:
+    """Coordinated pipeline point-in-time rollback: restore every
+    pipeline table (``ROLLBACK_TABLES``) to the snapshot it had right
+    after ``batch_id``'s run row was committed — the "bad deploy
+    shipped a poisoned batch, rewind and re-apply" operation.
+
+    Mechanics: each success run row carries a ``versions`` JSON anchor
+    (per-table snapshot versions at batch completion); we roll each
+    table back via ``LakeTable.rollback``, which is a NEW commit, so
+    the bad batches stay inspectable until vacuumed.  Because rollback
+    also reverts snapshot props, the target's ``last_batch_id`` /
+    change-log watermark idempotency guards revert with the data —
+    re-applying batches > ``batch_id`` (fixed or not) is NOT
+    suppressed, and replay reconverges the pipeline (T3).
+
+    The ``runs`` audit table is never rolled back; a ``rollback``
+    status row is appended instead so the operation itself is lineage.
+    Returns the restored per-table versions."""
+    anchors = [
+        r
+        for r in pipe.runs.read(spark)
+        .filter(
+            (F.col("batch_id") == batch_id)
+            & (F.col("status") == "success")
+            & F.col("versions").isNotNull()
+        )
+        .collect()
+    ]
+    if not anchors:
+        raise ValueError(
+            f"no success run row with a versions anchor for batch {batch_id}"
+        )
+    # latest run of that batch wins (re-deliveries are no-op merges but
+    # still write run rows)
+    anchor = max(anchors, key=lambda r: (r["finished_at"], r["versions"]))
+    versions: dict[str, int] = json.loads(anchor["versions"])
+    restored: dict[str, int] = {}
+    for name in ROLLBACK_TABLES:
+        table: LakeTable = getattr(pipe, name)
+        v = versions.get(name)
+        if v is None:
+            continue
+        if table.current_version() != v:
+            table.rollback(v)
+        restored[name] = v
+    audit = {
+        "batch_id": batch_id,
+        "started_at": _now(),
+        "finished_at": _now(),
+        "status": "rollback",
+        "input_rows": None,
+        "applied": None,
+        "deduped": None,
+        "quarantined": None,
+        "skipped_stale": None,
+        "delete_noop": None,
+        "notes": f"rolled back to post-batch-{batch_id} snapshots",
+        "versions": json.dumps(restored),
+    }
+    pipe.runs.append(
+        spark.createDataFrame([audit], S.RUNS_SCHEMA),
+        operation=f"rollback(batch={batch_id})",
+    )
+    return restored

@@ -76,6 +76,10 @@ RUNS_SCHEMA = StructType(
         StructField("skipped_stale", LongType(), True),
         StructField("delete_noop", LongType(), True),
         StructField("notes", StringType(), True),
+        # JSON map of table -> snapshot version at batch completion;
+        # the anchor rollback_to_batch() uses for coordinated
+        # pipeline point-in-time rollback
+        StructField("versions", StringType(), True),
     ]
 )
 

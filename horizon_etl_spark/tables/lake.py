@@ -163,6 +163,30 @@ class LakeTable:
     def schema(self, version: int | None = None) -> StructType:
         return StructType.fromJson(self.snapshot(version)["schema"])
 
+    def history(self) -> list[dict[str, Any]]:
+        """Commit log of retained snapshots, oldest→newest — the
+        Iceberg ``table.history()``/``snapshots`` metadata view:
+        one entry per snapshot with version, parent, operation,
+        summary, row/file counts.  Driver-side metadata only (reads
+        the O(retained-versions) snapshot JSONs, no data scan)."""
+        versions = sorted(
+            int(f[1:9]) for f in os.listdir(self._snap_dir) if f.endswith(".json")
+        )
+        out = []
+        for v in versions:
+            s = self.snapshot(v)
+            out.append(
+                {
+                    "version": s["version"],
+                    "parent": s.get("parent"),
+                    "operation": s.get("operation"),
+                    "summary": s.get("summary", {}),
+                    "files": len(s["files"]),
+                    "rows": sum(f.get("rows") or 0 for f in s["files"]),
+                }
+            )
+        return out
+
     @property
     def key_col(self) -> str:
         return self.snapshot()["key_col"]
@@ -318,25 +342,60 @@ class LakeTable:
         return version
 
     # ---------------------------------------------------- schema evolution
+    @staticmethod
+    def _is_widening(old_t, new_t) -> bool:
+        """Iceberg's safe type-promotion set (spec §Schema Evolution):
+        int→long, float→double, decimal(P,S)→decimal(P',S) with P'>P.
+        All three are zero-rewrite: Spark's vectorized parquet reader
+        upcasts old files on scan when given the widened read schema
+        (verified on this build — illegal promotions like
+        decimal→double abort the scan, so the gate below is load-bearing).
+        """
+        from pyspark.sql.types import (
+            DecimalType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+        )
+
+        if isinstance(old_t, IntegerType) and isinstance(new_t, LongType):
+            return True
+        if isinstance(old_t, FloatType) and isinstance(new_t, DoubleType):
+            return True
+        if isinstance(old_t, DecimalType) and isinstance(new_t, DecimalType):
+            return new_t.scale == old_t.scale and new_t.precision > old_t.precision
+        return False
+
     def evolve_schema(self, new_schema: StructType, operation: str = "evolve") -> int:
-        """Additive-only schema evolution: existing columns must keep
-        their types; new columns are appended nullable.  Old data files
-        are untouched (read as null for the new columns)."""
+        """Additive + widening schema evolution: new columns are
+        appended nullable; existing columns may widen along Iceberg's
+        promotion lattice (``_is_widening``); anything else is
+        rejected.  Old data files are untouched — new columns read as
+        null, widened columns upcast at scan time."""
         snap = self.snapshot()
         old = StructType.fromJson(snap["schema"])
         old_names = {f.name: f for f in old.fields}
         for f in old.fields:
             if f.name not in [n.name for n in new_schema.fields]:
                 raise ValueError(f"schema evolution may not drop column {f.name!r}")
-        merged = list(old.fields)
-        for f in new_schema.fields:
-            if f.name in old_names:
-                if str(f.dataType) != str(old_names[f.name].dataType):
-                    raise ValueError(
-                        f"schema evolution may not change type of {f.name!r}: "
-                        f"{old_names[f.name].dataType} -> {f.dataType}"
-                    )
+        new_by_name = {f.name: f for f in new_schema.fields}
+        merged = []
+        widened: list[str] = []
+        for f in old.fields:
+            nf = new_by_name[f.name]
+            if str(nf.dataType) == str(f.dataType):
+                merged.append(f)
+            elif self._is_widening(f.dataType, nf.dataType):
+                merged.append(StructField(f.name, nf.dataType, True))
+                widened.append(f"{f.name}: {f.dataType.simpleString()}->{nf.dataType.simpleString()}")
             else:
+                raise ValueError(
+                    f"schema evolution may not change type of {f.name!r}: "
+                    f"{f.dataType} -> {nf.dataType} (only int->long, "
+                    f"float->double, decimal precision widening)"
+                )
+        for f in new_schema.fields:
+            if f.name not in old_names:
                 merged.append(f)
         version = snap["version"] + 1
         self._commit(
@@ -347,10 +406,93 @@ class LakeTable:
                 "parent": snap["version"],
                 "schema": StructType(merged).jsonValue(),
                 "operation": operation,
-                "summary": {"added": [f.name for f in merged if f.name not in old_names]},
+                "summary": {
+                    "added": [f.name for f in merged if f.name not in old_names],
+                    "widened": widened,
+                },
             },
         )
         return version
+
+    # ------------------------------------------------------------- rollback
+    def rollback(self, to_version: int) -> int:
+        """Roll the table back to a prior snapshot — Iceberg's
+        ``rollback_to_snapshot``.  Implemented as a NEW commit whose
+        schema/files/props are copied from the target snapshot, so
+        history is preserved (the bad commits stay inspectable until
+        vacuumed) and ``vacuum`` keeps the rolled-back-to files alive
+        because the head snapshot references them.
+
+        Props roll back too: the CDC batch high-watermarks
+        (``last_batch_id`` / change-log watermark) revert with the
+        data, so re-applying the change feed from the rolled-back
+        point is NOT suppressed by the idempotency guards — replay
+        reconverges the table (T3)."""
+        snap = self.snapshot()
+        if to_version > snap["version"]:
+            raise ValueError(
+                f"cannot roll back to future version {to_version} "
+                f"(current {snap['version']})"
+            )
+        target = self.snapshot(to_version)  # raises if expired
+        version = snap["version"] + 1
+        self._commit(
+            version,
+            {
+                **target,
+                "version": version,
+                "parent": snap["version"],
+                "operation": "rollback",
+                "summary": {"to_version": to_version},
+            },
+        )
+        return version
+
+    # --------------------------------------------------- incremental scan
+    def read_appends(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental append scan — Iceberg's
+        ``incremental-scan`` contract: return exactly the rows added by
+        ``append`` commits in ``(from_version, to_version]``, by
+        scanning only the files those commits introduced (no diffing of
+        row contents, no full-table read).
+
+        Raises if any commit in the range rewrote files (merge /
+        overwrite / rebucket / compact remove or replace files, so
+        "rows added since v" is not file-expressible there —
+        downstream consumers of merge-managed tables subscribe to the
+        change-log table instead, which exists precisely for that).
+        The check is on the FILE SET, not the operation label: a
+        commit qualifies iff its file set is a superset of its
+        parent's, so every append variant (change_log, metrics,
+        run(...), quarantine appends) and metadata-only commits
+        (evolve) qualify regardless of how they were labeled."""
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        schema = StructType.fromJson(self.snapshot(to_v)["schema"])
+        new_files: list[FileEntry] = []
+        prev_paths = {f["path"] for f in self.snapshot(from_version)["files"]}
+        for v in range(from_version + 1, to_v + 1):
+            snap = self.snapshot(v)
+            cur_paths = {f["path"] for f in snap["files"]}
+            if not prev_paths <= cur_paths:
+                raise ValueError(
+                    f"incremental append scan requires append-only history; "
+                    f"version {v} ({snap.get('operation')!r}) removed or "
+                    f"rewrote files — consume the change-log table instead"
+                )
+            new_files.extend(
+                FileEntry.from_json(f)
+                for f in snap["files"]
+                if f["path"] not in prev_paths
+            )
+            prev_paths = cur_paths
+        return self._scan(spark, new_files, schema)
 
     # ----------------------------------------------------------------- write
     def _write_data(

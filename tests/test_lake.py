@@ -287,3 +287,142 @@ def test_concurrent_commit_conflict_detected(spark, tmp_table_dir):
     t1._commit(v, {**snap, "version": v, "parent": snap["version"]})
     with pytest.raises(FileExistsError):
         t2._commit(v, {**snap, "version": v, "parent": snap["version"]})
+
+
+# ------------------------------------------------- widening / rollback / incr
+
+
+def test_widening_schema_evolution_reads_old_files(spark, tmp_table_dir):
+    """int->long, float->double, decimal(P,S)->decimal(P',S) are
+    zero-rewrite: old files upcast at scan time under the widened
+    read schema (Iceberg spec §Schema Evolution promotion set)."""
+    from pyspark.sql.types import DecimalType, DoubleType, LongType as LT
+
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "w"),
+        spark.createDataFrame(
+            [], "k string, i int, f float, d decimal(10,2)"
+        ).schema,
+    )
+    t.append(
+        spark.createDataFrame([("a", 1, 1.5, "1.23")], "k string, i int, f string, d string")
+        .selectExpr("k", "i", "cast(f as float) f", "cast(d as decimal(10,2)) d")
+    )
+    files_before = {f["path"] for f in t.snapshot()["files"]}
+    t.evolve_schema(
+        spark.createDataFrame(
+            [], "k string, i long, f double, d decimal(20,2), extra string"
+        ).schema
+    )
+    # metadata-only: no data files rewritten
+    assert {f["path"] for f in t.snapshot()["files"]} == files_before
+    assert t.snapshot()["summary"]["widened"] == [
+        "i: int->bigint",
+        "f: float->double",
+        "d: decimal(10,2)->decimal(20,2)",
+    ]
+    # old file scans under the widened schema; values preserved
+    t.append(
+        spark.createDataFrame([("b", 2**40, 2.5, "99999999999.99")], "k string, i long, f string, d string")
+        .selectExpr("k", "i", "cast(f as double) f", "cast(d as decimal(20,2)) d", "'x' extra")
+    )
+    out = {r["k"]: r for r in t.read(spark).collect()}
+    assert out["a"]["i"] == 1 and out["b"]["i"] == 2**40
+    assert out["a"]["f"] == 1.5 and out["a"]["extra"] is None
+    assert str(out["a"]["d"]) == "1.23"
+    sch = {f.name: f.dataType for f in t.schema().fields}
+    assert isinstance(sch["i"], LT) and isinstance(sch["f"], DoubleType)
+    assert sch["d"] == DecimalType(20, 2)
+
+
+def test_widening_rejects_illegal_promotions(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "w"),
+        spark.createDataFrame([], "k string, i long, d decimal(10,2)").schema,
+    )
+    # narrowing long->int
+    with pytest.raises(ValueError, match="may not change type"):
+        t.evolve_schema(spark.createDataFrame([], "k string, i int, d decimal(10,2)").schema)
+    # decimal->double (would abort the vectorized parquet scan)
+    with pytest.raises(ValueError, match="may not change type"):
+        t.evolve_schema(spark.createDataFrame([], "k string, i long, d double").schema)
+    # decimal scale change
+    with pytest.raises(ValueError, match="may not change type"):
+        t.evolve_schema(spark.createDataFrame([], "k string, i long, d decimal(20,4)").schema)
+
+
+def test_rollback_restores_state_and_preserves_history(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4
+    )
+    t.merge(batch_df(spark, [("insert", "a", 1, [1], "wiki"), ("insert", "b", 2, [2], "web")]))
+    good_v = t.current_version()
+    # a bad deploy: wrong update + a delete
+    t.merge(batch_df(spark, [("update", "a", 3, [9, 9], "spam"), ("delete", "b", 4, None, None)]))
+    assert t.read(spark).count() == 1
+    rb_v = t.rollback(good_v)
+    assert rb_v == t.current_version() and rb_v > good_v  # new commit, not erasure
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert rows["a"]["tokens"] == [1] and rows["b"]["tokens"] == [2]
+    # the bad version stays inspectable (history preserved)
+    assert t.read(spark, version=good_v + 1).count() == 1
+    # rollback to a future version is rejected
+    with pytest.raises(ValueError, match="future"):
+        t.rollback(rb_v + 5)
+    # replay after rollback reconverges: re-apply the events with the
+    # fix — lsn guard still orders them correctly
+    t.merge(batch_df(spark, [("update", "a", 3, [3], "wiki"), ("delete", "b", 4, None, None)]))
+    rows = {r["doc_id"]: r for r in t.read(spark).collect()}
+    assert set(rows) == {"a"} and rows["a"]["tokens"] == [3]
+
+
+def test_rollback_then_vacuum_keeps_referenced_files(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4
+    )
+    t.merge(batch_df(spark, [("insert", "a", 1, [1], "wiki")]))
+    good_v = t.current_version()
+    t.merge(batch_df(spark, [("update", "a", 2, [2], "spam")]))
+    t.rollback(good_v)
+    # the head snapshot references good_v's files, so an aggressive
+    # vacuum must keep them even though good_v itself expires
+    t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert t.read(spark).first()["tokens"] == [1]
+
+
+def test_read_appends_incremental_scan(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "log"),
+        StructType([StructField("k", StringType()), StructField("v", IntegerType())]),
+    )
+    v0 = t.current_version()
+    t.append(spark.createDataFrame([("x", 1)], "k string, v int"))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([("y", 2)], "k string, v int"))
+    t.append(spark.createDataFrame([("z", 3)], "k string, v int"))
+    # delta (v1, head]: only y and z; no full-table read
+    got = {r["k"] for r in t.read_appends(spark, from_version=v1).collect()}
+    assert got == {"y", "z"}
+    # bounded range (v0, v1]
+    got = {r["k"] for r in t.read_appends(spark, v0, v1).collect()}
+    assert got == {"x"}
+    # empty range
+    assert t.read_appends(spark, t.current_version()).count() == 0
+    # a metadata-only evolve inside the range is fine; new rows scan
+    # under the widened schema
+    t.evolve_schema(spark.createDataFrame([], "k string, v long").schema)
+    t.append(spark.createDataFrame([("w", 2**40)], "k string, v long"))
+    got = {r["k"]: r["v"] for r in t.read_appends(spark, v1).collect()}
+    assert got == {"y": 2, "z": 3, "w": 2**40}
+
+
+def test_read_appends_rejects_rewrites(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="doc_id", bucket_count=4
+    )
+    t.merge(batch_df(spark, [("insert", "a", 1, [1], "wiki")]))
+    v1 = t.current_version()
+    # merge rewrites bucket files -> not file-expressible as appends
+    t.merge(batch_df(spark, [("update", "a", 2, [2], "wiki")]))
+    with pytest.raises(ValueError, match="change-log"):
+        t.read_appends(spark, v1)

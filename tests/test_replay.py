@@ -157,3 +157,66 @@ def test_lineage_tables_written(spark, tmp_table_dir):
     upd = cl.filter(F.col("op_applied") == "update")
     if upd.count() > 0:
         assert upd.filter(F.col("after_n_tok").isNull()).count() == 0
+
+
+def test_change_log_incremental_subscription(spark, tmp_table_dir):
+    """Downstream-consumer contract: the change_log is an append-only
+    table, so a subscriber polls it with read_appends(from_version) and
+    receives exactly the change images committed since its cursor —
+    never a full-table rescan (Iceberg incremental-scan over the CDC
+    lineage stream; the read_appends docstring points merge-table
+    consumers here)."""
+    feed = _feed(spark, 3)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    apply_batch(pipe, feed.filter(F.col("batch") == 0).drop("batch"), 0)
+    cursor = pipe.change_log.current_version()
+    for b in (1, 2):
+        apply_batch(pipe, feed.filter(F.col("batch") == b).drop("batch"), b)
+    delta = pipe.change_log.read_appends(spark, from_version=cursor)
+    full = pipe.change_log.read(spark)
+    assert set(r["batch_id"] for r in delta.select("batch_id").distinct().collect()) == {1, 2}
+    assert delta.count() == full.filter(F.col("batch_id") >= 1).count()
+    # the commit history is inspectable and explains itself
+    ops = [h["operation"] for h in pipe.change_log.history()]
+    assert ops[0] == "create" and all(op == "change_log" for op in ops[1:])
+
+
+def test_pipeline_rollback_to_batch_and_reapply(spark, tmp_table_dir):
+    """Coordinated point-in-time rollback: a poisoned batch 2 ships,
+    rollback_to_batch(1) rewinds target/change_log/rollup/quarantine/
+    metrics to their post-batch-1 snapshots (runs keeps the audit
+    trail), and re-applying batch 2 reconverges to the full oracle —
+    the idempotency watermarks must revert with the data."""
+    from horizon_etl_spark.cdc.apply import rollback_to_batch
+
+    feed = _feed(spark, 3)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    replay(pipe, feed, with_rollup=True)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+
+    restored = rollback_to_batch(pipe, spark, 1)
+    assert set(restored) == {"target", "quarantine", "metrics", "change_log", "rollup"}
+    prefix = feed.filter(F.col("batch") <= 1)
+    assert_frames_equal(_final(pipe, spark), expected_final(prefix))
+    # lineage rewound with the data
+    assert pipe.change_log.read(spark).filter(F.col("batch_id") == 2).count() == 0
+    assert pipe.metrics.read(spark).filter(F.col("batch_id") == 2).count() == 0
+    # rollup consistent with the rolled-back target
+    from tests.test_rollup import _assert_rollup_consistent
+    _assert_rollup_consistent(pipe, spark)
+    # audit: runs table was NOT rolled back and records the operation
+    runs = pipe.runs.read(spark)
+    assert runs.filter(F.col("status") == "rollback").count() == 1
+    assert runs.filter(F.col("batch_id") == 2).count() == 1  # history kept
+
+    # re-apply batch 2 — watermarks reverted, so it is NOT suppressed
+    apply_batch(pipe, feed.filter(F.col("batch") == 2).drop("batch"), 2,
+                with_rollup=True)
+    assert_frames_equal(_final(pipe, spark), expected_final(feed))
+    _assert_rollup_consistent(pipe, spark)
+    assert pipe.change_log.read(spark).filter(F.col("batch_id") == 2).count() > 0
+
+    # unknown batch -> clear error
+    import pytest
+    with pytest.raises(ValueError, match="no success run row"):
+        rollback_to_batch(pipe, spark, 99)

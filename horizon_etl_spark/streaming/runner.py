@@ -110,6 +110,19 @@ def run_stream(
         if max_files_per_trigger is not None:
             raw = raw.option("maxFilesPerTrigger", str(max_files_per_trigger))
         feed = raw.csv(input_dir).select(*decoded_cols)
+    elif feed_format == "xlsx":
+        # binary Excel drops (S1): real .xlsx workbooks parsed with the
+        # stdlib OOXML reader, per-file inside mapInPandas — see
+        # horizon_etl_spark/sources/xlsx.py for the wire contract
+        # (header-name column matching, serial-date handling).
+        from horizon_etl_spark.sources.xlsx import xlsx_feed
+
+        feed = xlsx_feed(
+            spark,
+            input_dir,
+            feed_schema or CHANGE_FEED_SCHEMA,
+            max_files_per_trigger=max_files_per_trigger,
+        )
     else:
         feed = reader.parquet(input_dir)
 

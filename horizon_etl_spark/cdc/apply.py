@@ -586,6 +586,139 @@ def replay(
     return results
 
 
+# run-row batch_id for the initial snapshot load; real WAL batches are >= 0
+BOOTSTRAP_BATCH_ID = -1
+
+
+def bootstrap(
+    pipe: CdcPipeline,
+    spark: SparkSession,
+    snapshot: DataFrame,
+    as_of_lsn: int,
+    with_rollup: bool = False,
+    whitelist: tuple[str, ...] | None = None,
+) -> dict[str, Any]:
+    """Initial-snapshot load — the Debezium ``snapshot.mode=initial``
+    handoff: bulk-load a consistent source snapshot taken at WAL
+    position ``as_of_lsn`` into the EMPTY target, then tail the change
+    feed; events at ``lsn <= as_of_lsn`` (already folded into the
+    snapshot) are skipped by the merge's lsn guard automatically, and
+    events after it apply incrementally.  The reference's analogue is
+    the first full ProjectLoader run before weekly incrementals
+    (/root/reference/src/core/logic/project_loader.py:79-93).
+
+    Scale story (the reason this is not just ``apply_batch`` with
+    insert events): the initial load of a 100 TB table through MERGE
+    would pay a full-outer join + change-image machinery against an
+    empty side.  This path is one validated pass: filter → bucket
+    repartition → partitioned parquet write — no join, no window, the
+    same single-shuffle shape as a plain bucketed CTAS.  Row counts
+    ride the write via an ``Observation``.
+
+    ``snapshot`` carries the payload columns (doc_id, tokens, n_tok,
+    source, …); rows must be key-unique (it is a table snapshot).
+    Validation applies the same quarantine rules as the feed path —
+    invalid rows land in the quarantine table under
+    ``BOOTSTRAP_BATCH_ID`` with ``lsn = as_of_lsn``, reprocessable via
+    ``reprocess_quarantine``.  In attr-LWW mode every column's
+    assertion lsn starts at ``as_of_lsn`` (the snapshot asserts the
+    whole row)."""
+    from pyspark.sql import Observation
+
+    from horizon_etl_spark.tables.lake import (
+        DEL_LSN_COL,
+        LSN_COL,
+        TOMBSTONE_COL,
+        alsn_col,
+    )
+
+    started = _now()
+    tsnap = pipe.target.snapshot()
+    if tsnap["files"]:
+        raise ValueError(
+            "bootstrap requires an empty target (it is the initial load); "
+            "use apply_batch/run_stream for incremental changes"
+        )
+    attr_mode = bool(tsnap.get("attr_lww"))
+
+    # the feed validators expect op/lsn; a snapshot row is an insert
+    # observed at the snapshot position
+    feed_shape = snapshot.withColumn("op", F.lit("insert")).withColumn(
+        "lsn", F.lit(as_of_lsn).cast("long")
+    )
+    if "ts" not in feed_shape.columns:  # quarantine rows carry the feed shape
+        feed_shape = feed_shape.withColumn("ts", F.lit(None).cast("timestamp"))
+    obs = Observation("bootstrap")
+    tagged = feed_shape.withColumn(
+        "_reason", _reason(None, whitelist)
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.when(F.col("_reason").isNull(), 1).otherwise(0)).alias("valid_rows"),
+    )
+
+    payload = [f.name for f in S.TARGET_SCHEMA.fields]
+    meta = [
+        F.lit(as_of_lsn).cast("long").alias(LSN_COL),
+        F.lit(False).alias(TOMBSTONE_COL),
+    ]
+    if attr_mode:
+        meta.append(F.lit(None).cast("long").alias(DEL_LSN_COL))
+        meta.extend(
+            F.lit(as_of_lsn).cast("long").alias(alsn_col(c))
+            for c in payload
+            if c != "doc_id"
+        )
+    valid = tagged.filter(F.col("_reason").isNull()).select(*payload, *meta)
+
+    version = pipe.target.overwrite(
+        valid,
+        operation="bootstrap",
+        props={"bootstrap_lsn": as_of_lsn},
+    )
+    counts = obs.get
+    input_rows = int(counts["input_rows"] or 0)
+    loaded = int(counts["valid_rows"] or 0)
+    if input_rows > loaded:
+        _write_quarantine(pipe, tagged, BOOTSTRAP_BATCH_ID, attr_mode, input_rows)
+    if with_rollup:
+        rebuilt = pipe.target.read(spark).groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("total_tokens"),
+        )
+        pipe.rollup.overwrite(
+            rebuilt,
+            operation="rollup(bootstrap)",
+            props={"synced_target_version": version},
+        )
+    run = {
+        "batch_id": BOOTSTRAP_BATCH_ID,
+        "started_at": started,
+        "finished_at": _now(),
+        "status": "bootstrap",
+        "input_rows": input_rows,
+        "applied": loaded,
+        "deduped": 0,
+        "quarantined": input_rows - loaded,
+        "skipped_stale": 0,
+        "delete_noop": 0,
+        "notes": f"initial snapshot load at lsn={as_of_lsn}",
+        "versions": json.dumps(
+            {name: getattr(pipe, name).current_version() for name in ROLLBACK_TABLES}
+        ),
+    }
+    pipe.runs.append(
+        spark.createDataFrame([run], S.RUNS_SCHEMA), operation="run(bootstrap)"
+    )
+    return {
+        "version": version,
+        "input_rows": input_rows,
+        "loaded": loaded,
+        "quarantined": input_rows - loaded,
+        "bootstrap_lsn": as_of_lsn,
+    }
+
+
 def rollback_to_batch(
     pipe: CdcPipeline, spark: SparkSession, batch_id: int
 ) -> dict[str, int]:

@@ -1,0 +1,124 @@
+"""Phase orchestrator: the reference's weekly pipeline as independent
+``spark-submit`` jobs sharing one lake.
+
+The reference's weekly orchestrator runs each phase in its own
+subprocess and exits non-zero when a critical phase fails
+(/root/reference/src/flows/pipelines/weekly_orchestrator.py:1-40,
+/root/reference/src/app.py:76-81).  The Spark-native mapping (SURVEY.md
+§2 T7) is one spark-submit job per phase — crash containment comes from
+process isolation (a dying phase cannot corrupt another phase's JVM)
+plus the lake's atomicity (a dying phase cannot leave a torn table:
+commits are all-or-nothing, exports publish by symlink swap), and
+resumability from the streaming checkpoint (re-running a failed ingest
+continues where it stopped).
+
+    python tools/orchestrate.py \
+        --pipeline-root /data/lake/docs \
+        --feed /data/wal/segments --checkpoint /data/ckpt/docs \
+        --export-out /data/exports [--filtered-by source] \
+        [--master local[8]] [--conf k=v ...]
+
+Phases run sequentially (export reads what ingest wrote).  Per-phase
+evidence is printed as one JSON line each; a failing phase stops the
+run and its exit code becomes the orchestrator's.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def parse_args(argv):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pipeline-root", required=True)
+    ap.add_argument("--feed", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--export-out", default=None, help="omit to skip the export phase")
+    ap.add_argument("--filtered-by", default=None)
+    ap.add_argument("--feed-format", default="parquet")
+    ap.add_argument("--with-rollup", action="store_true")
+    ap.add_argument("--master", default="local[8]")
+    ap.add_argument("--conf", action="append", default=[])
+    ap.add_argument(
+        "--py-files",
+        default=None,
+        help="engine zip; built into dist/ if omitted",
+    )
+    ap.add_argument("--phase-timeout", type=int, default=3600)
+    return ap.parse_args(argv)
+
+
+def run_phase(name, script_args, args):
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    cmd = [spark_submit, "--master", args.master, "--py-files", args.py_files]
+    for c in args.conf:
+        cmd += ["--conf", c]
+    cmd += script_args
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=args.phase_timeout
+    )
+    evidence = {
+        "phase": name,
+        "exit_code": proc.returncode,
+        "seconds": round(time.monotonic() - t0, 2),
+    }
+    if proc.returncode == 0:
+        try:
+            evidence["result"] = json.loads(proc.stdout.strip().splitlines()[-1])
+        except (ValueError, IndexError):
+            evidence["result"] = None
+    else:
+        evidence["stderr_tail"] = proc.stderr[-2000:]
+    print(json.dumps(evidence), flush=True)
+    return proc.returncode
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.py_files is None:
+        try:
+            from make_pyfiles import build_zip  # run as `python tools/orchestrate.py`
+        except ImportError:
+            from tools.make_pyfiles import build_zip  # imported with repo root on path
+
+        args.py_files = build_zip(REPO, os.path.join(REPO, "dist", "horizon_etl_spark.zip"))
+
+    ingest = [
+        os.path.join(REPO, "tools", "job_apply.py"),
+        "--pipeline-root", args.pipeline_root,
+        "--feed", args.feed,
+        "--checkpoint", args.checkpoint,
+        "--feed-format", args.feed_format,
+    ]
+    if args.with_rollup:
+        ingest.append("--with-rollup")
+    rc = run_phase("ingest", ingest, args)
+    if rc != 0:
+        return rc
+
+    if args.export_out is not None:
+        export = [
+            os.path.join(REPO, "tools", "job_export.py"),
+            "--pipeline-root", args.pipeline_root,
+            "--out", args.export_out,
+        ]
+        if args.filtered_by:
+            export += ["--filtered-by", args.filtered_by]
+        rc = run_phase("export", export, args)
+        if rc != 0:
+            return rc
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -128,42 +128,151 @@ def export_table(
     stage = os.path.join(art_root, f".stage-{uuid.uuid4().hex[:8]}")
     os.makedirs(stage)
     try:
-        if "parquet" in formats:
-            df.write.option("compression", "zstd").parquet(os.path.join(stage, "parquet"))
-        if "json" in formats:
-            df.write.option("compression", "gzip").json(os.path.join(stage, "json"))
-        # column sidecar (export_parquet.py .cols.json)
-        cols = [
-            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
-            for f in df.schema.fields
-        ]
-        with open(os.path.join(stage, f"{name}.cols.json"), "w") as fh:
-            json.dump(cols, fh, indent=2)
-        # count the WRITTEN artifact (never a second run of the export
-        # pipeline, which doubles the job for json-only exports)
-        if "parquet" in formats:
-            n_rows = spark.read.parquet(os.path.join(stage, "parquet")).count()
-        else:
-            n_rows = spark.read.json(os.path.join(stage, "json")).count()
-        manifest = {
-            "name": name,
-            "source_path": table.path,
-            "source_version": v,
-            "formats": sorted(formats),
-            "n_rows": n_rows,
-            "columns": [c["name"] for c in cols],
-        }
-        mpath = os.path.join(stage, "manifest.json")
-        with open(mpath, "w") as fh:
-            json.dump(manifest, fh, indent=2)
-            fh.flush()
-            os.fsync(fh.fileno())
+        n_rows = _stage_write(
+            spark,
+            df,
+            stage,
+            name,
+            formats,
+            {"source_path": table.path, "source_version": v},
+        )
     except Exception:
         shutil.rmtree(stage, ignore_errors=True)
         raise
 
     link = _publish(art_root, out_dir, name, stage)
     return {"path": link, "version": v, "n_rows": n_rows}
+
+
+def _stage_write(
+    spark: SparkSession,
+    df: DataFrame,
+    stage: str,
+    name: str,
+    formats: tuple[str, ...],
+    manifest_extra: dict,
+) -> int:
+    """Write one artifact set (data files + column sidecar + fsync'd
+    manifest) into an already-created stage dir; returns the row count
+    of the WRITTEN artifact (never a second run of the export pipeline,
+    which doubles the job for json-only exports)."""
+    if "parquet" in formats:
+        df.write.option("compression", "zstd").parquet(os.path.join(stage, "parquet"))
+    if "json" in formats:
+        df.write.option("compression", "gzip").json(os.path.join(stage, "json"))
+    # column sidecar (export_parquet.py .cols.json)
+    cols = [
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        for f in df.schema.fields
+    ]
+    with open(os.path.join(stage, f"{name}.cols.json"), "w") as fh:
+        json.dump(cols, fh, indent=2)
+    if "parquet" in formats:
+        n_rows = spark.read.parquet(os.path.join(stage, "parquet")).count()
+    else:
+        n_rows = spark.read.json(os.path.join(stage, "json")).count()
+    manifest = {
+        "name": name,
+        "formats": sorted(formats),
+        "n_rows": n_rows,
+        "columns": [c["name"] for c in cols],
+        **manifest_extra,
+    }
+    mpath = os.path.join(stage, "manifest.json")
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+        fh.flush()
+        os.fsync(fh.fileno())
+    return n_rows
+
+
+def export_changes(
+    spark: SparkSession,
+    change_log: LakeTable,
+    out_dir: str,
+    name: str,
+    formats: tuple[str, ...] = ("parquet",),
+    scrub: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict:
+    """Incremental (outbox) export of the change-log table: each run
+    publishes exactly the change rows appended since the previous run's
+    cursor as a NEW immutable artifact — the 100 TB answer to
+    re-exporting a full table every cycle (the full export is O(table);
+    this is O(new changes), file-set-derived via ``read_appends``, no
+    full scan and no row diffing).
+
+    Layout under ``out_dir``:
+      * ``<name>_<from>_<to>`` — one immutable symlink per delta
+        (underscored so the base name's GC pattern ``<name>-<hex8>``
+        can never match it); consumers tail these in name order and may
+        remove a link once consumed (the artifact then ages out).
+      * ``<name>`` — cursor symlink to the LATEST delta; its manifest's
+        ``to_version`` is the next run's ``from_version``.
+
+    A run with no new appends publishes nothing and returns
+    ``rows == 0`` with the cursor unchanged — so the job is safe on any
+    schedule.  Re-running after a crash between artifact publish and
+    cursor update re-exports the same range under the same delta name
+    (idempotent: the delta link is replaced, consumers keyed on the
+    ``(from, to)`` name see one delta).  If the change-log history was
+    rewritten (``rollback_to_batch``), ``read_appends`` refuses the
+    range and consumers must resync from a full export.
+
+    Reference analogue: the weekly run re-exports canonical state in
+    full (canonical_exporter.py:2003-2056); the outbox delta is the
+    scale-path replacement this engine adds."""
+    to_v = change_log.current_version()
+    try:
+        from_v = int(export_manifest(out_dir, name)["to_version"])
+    except (OSError, KeyError, ValueError):
+        from_v = 1  # the table's "create" commit (empty file set)
+    if to_v <= from_v:
+        return {"path": None, "from_version": from_v, "to_version": from_v, "n_rows": 0}
+
+    df = change_log.read_appends(spark, from_v, to_v)
+    if scrub is not None:
+        df = scrub(df)
+
+    art_root = os.path.join(out_dir, ".artifacts")
+    os.makedirs(art_root, exist_ok=True)
+    delta_name = f"{name}_{from_v:08d}_{to_v:08d}"
+    _gc_artifacts(art_root, out_dir, delta_name)
+
+    stage = os.path.join(art_root, f".stage-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage)
+    try:
+        n_rows = _stage_write(
+            spark,
+            df,
+            stage,
+            delta_name,
+            formats,
+            {
+                "kind": "changes",
+                "source_path": change_log.path,
+                "from_version": from_v,
+                "to_version": to_v,
+            },
+        )
+    except Exception:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
+
+    link = _publish(art_root, out_dir, delta_name, stage)
+    # advance the cursor: point the base-name symlink at the same
+    # artifact (atomic replace, same pattern as _publish)
+    cursor = os.path.join(out_dir, name)
+    tmp_link = os.path.join(out_dir, f".link-{uuid.uuid4().hex[:8]}")
+    os.symlink(os.path.relpath(os.path.realpath(link), out_dir), tmp_link)
+    os.rename(tmp_link, cursor)
+    return {"path": link, "from_version": from_v, "to_version": to_v, "n_rows": n_rows}
+
+
+def list_change_exports(out_dir: str, name: str) -> list[str]:
+    """Delta artifact names under ``out_dir`` for ``name``, in
+    version order (the consumer's tail order)."""
+    pat = re.compile(r"^%s_\d{8}_\d{8}$" % re.escape(name))
+    return sorted(d for d in os.listdir(out_dir) if pat.match(d))
 
 
 def export_filtered_views(

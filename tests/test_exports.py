@@ -160,3 +160,49 @@ def test_graph_export_round_trips_nodes_and_edges(spark, tmp_table_dir):
         got_edges.select(F.col("sb").alias("supp"))
     )
     assert sa.join(got_nodes, "supp", "left_anti").count() == 0
+
+
+def test_incremental_change_export_outbox(spark, tmp_table_dir):
+    """export_changes publishes exactly the change rows appended since
+    the previous cursor; deltas are immutable, union == full log,
+    no-new-appends runs are no-ops."""
+    from horizon_etl_spark.cdc.apply import apply_batch
+    from horizon_etl_spark.exports import export_changes, list_change_exports
+
+    feed = change_feed(spark, 2000, 150, seed=29, num_batches=3, max_len=8)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    out = os.path.join(tmp_table_dir, "exports")
+
+    apply_batch(pipe, feed.filter(F.col("batch") == 0).drop("batch"), batch_id=0)
+    d1 = export_changes(spark, pipe.change_log, out, "changes", formats=("parquet",))
+    assert d1["from_version"] == 1 and d1["n_rows"] > 0
+    log_rows_1 = pipe.change_log.read(spark).count()
+    assert d1["n_rows"] == log_rows_1
+
+    # no new appends → no-op, cursor unchanged, nothing published
+    noop = export_changes(spark, pipe.change_log, out, "changes")
+    assert noop["n_rows"] == 0 and noop["path"] is None
+    assert noop["from_version"] == d1["to_version"]
+
+    apply_batch(pipe, feed.filter(F.col("batch") == 1).drop("batch"), batch_id=1)
+    apply_batch(pipe, feed.filter(F.col("batch") == 2).drop("batch"), batch_id=2)
+    d2 = export_changes(spark, pipe.change_log, out, "changes", formats=("parquet",))
+    assert d2["from_version"] == d1["to_version"]
+    full = pipe.change_log.read(spark).count()
+    assert d1["n_rows"] + d2["n_rows"] == full
+
+    # deltas are separately listed, individually readable, and their
+    # union is the full change log
+    deltas = list_change_exports(out, "changes")
+    assert len(deltas) == 2
+    got = None
+    for name in deltas:
+        part = read_export(spark, out, name, "parquet")
+        got = part if got is None else got.unionByName(part)
+    assert got.count() == full
+    assert got.exceptAll(pipe.change_log.read(spark)).count() == 0
+
+    # cursor symlink resolves to the latest delta's manifest
+    man = export_manifest(out, "changes")
+    assert man["kind"] == "changes"
+    assert man["to_version"] == d2["to_version"]

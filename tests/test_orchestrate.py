@@ -64,13 +64,15 @@ def test_orchestrated_phases_and_crash_containment(spark, tmp_path):
     ]
     rc, phases = _orchestrate(
         [*common, "--export-out", os.path.join(scratch, "exports"),
-         "--filtered-by", "source"],
+         "--filtered-by", "source", "--export-changes", "--maintain"],
         cwd=scratch,
     )
     assert rc == 0, phases
     by_name = {p["phase"]: p for p in phases}
-    assert by_name["ingest"]["exit_code"] == 0
-    assert by_name["export"]["exit_code"] == 0
+    assert [p["phase"] for p in phases] == [
+        "ingest", "export", "export_changes", "maintain"
+    ]
+    assert all(p["exit_code"] == 0 for p in phases)
 
     # cross-process equality: artifact == lake state == oracle
     pipe = CdcPipeline.load(root)
@@ -83,6 +85,21 @@ def test_orchestrated_phases_and_crash_containment(spark, tmp_path):
     # filtered views partition the same snapshot
     views = by_name["export"]["result"]["filtered_views"]
     assert sum(views.values()) == by_name["export"]["result"]["rows"]
+
+    # outbox delta: first run exports the whole change log
+    delta = by_name["export_changes"]["result"]
+    assert delta["rows"] == pipe.change_log.read(spark).count()
+    art = read_export(
+        spark,
+        os.path.join(scratch, "exports"),
+        f"target_changes_{delta['from_version']:08d}_{delta['to_version']:08d}",
+    )
+    assert art.count() == delta["rows"]
+
+    # maintenance ran all three steps and left state intact
+    maint = by_name["maintain"]["result"]
+    assert {"rebucket", "compact", "vacuum"} <= set(maint)
+    assert_frames_equal(CdcPipeline.load(root).target.read(spark), oracle)
 
     # critical-phase failure: export out dir unereachable (parent is a
     # regular file) → non-zero exit, evidence recorded, lake untouched

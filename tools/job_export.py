@@ -44,6 +44,13 @@ def parse_args(argv):
         default=None,
         help="comma-separated payload columns to pass through pii.deep_scrub",
     )
+    ap.add_argument(
+        "--changes",
+        action="store_true",
+        help="incremental outbox mode: publish only the change-log rows "
+        "appended since the previous run's cursor (O(new changes), not "
+        "O(table)) instead of a full target export",
+    )
     return ap.parse_args(argv)
 
 
@@ -65,6 +72,27 @@ def main(argv=None) -> int:
     scrub = None
     if args.deep_scrub_cols:
         scrub = partial(deep_scrub, cols=args.deep_scrub_cols.split(","))
+
+    if args.changes:
+        delta = exports.export_changes(
+            spark,
+            pipe.change_log,
+            args.out,
+            f"{args.name}_changes",
+            scrub=scrub,
+        )
+        print(
+            json.dumps(
+                {
+                    "out_dir": args.out,
+                    "name": f"{args.name}_changes",
+                    "from_version": delta["from_version"],
+                    "to_version": delta["to_version"],
+                    "rows": delta["n_rows"],
+                }
+            )
+        )
+        return 0
 
     manifest = exports.export_table(
         spark,

@@ -1,0 +1,104 @@
+"""spark-submit entry job: lake maintenance — the third orchestrated
+phase (ingest → export → maintain).
+
+    spark-submit --master <cluster> \
+        --py-files dist/horizon_etl_spark.zip \
+        tools/job_maintain.py --pipeline-root /data/lake/docs \
+        [--rebucket auto|off|N] [--max-files-per-bucket 8] \
+        [--vacuum-keep 4] [--vacuum-min-age 3600]
+
+Three bounded-cost operations, in dependency order:
+  1. **rebucket** (``auto``): if the last merge's snapshot summary
+     carries a ``rebucket_recommended`` advisory (rows/bucket exceeded
+     the policy threshold), atomically rewrite the target to the
+     recommended bucket count — the advisory fires from ingest metrics,
+     the rewrite runs here where it cannot stall the feed.
+  2. **compact_buckets**: selective small-file compaction of hot
+     buckets only (O(hot buckets), not O(table)).
+  3. **vacuum**: expire old snapshots + delete unreferenced data files
+     across ALL pipeline tables, with the concurrent-writer age guard.
+
+At 100 TB these are the jobs that keep merge cost flat as the table
+grows; each is a separate commit, so a crash mid-maintenance leaves a
+consistent table at the last completed step (idempotent to re-run).
+
+Prints exactly one JSON line of maintenance evidence on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def parse_args(argv):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pipeline-root", required=True)
+    ap.add_argument(
+        "--rebucket",
+        default="auto",
+        help="'auto' = follow the merge-time advisory; 'off'; or an explicit count",
+    )
+    ap.add_argument("--max-files-per-bucket", type=int, default=8)
+    ap.add_argument("--vacuum-keep", type=int, default=4)
+    ap.add_argument(
+        "--vacuum-keep-change-log",
+        type=int,
+        default=64,
+        help="change_log retains more history: the incremental outbox "
+        "export (export_changes) scans snapshots back to its cursor, so "
+        "keep at least one export cycle's worth of versions",
+    )
+    ap.add_argument("--vacuum-min-age", type=float, default=3600.0)
+    return ap.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+
+    from pyspark.sql import SparkSession
+
+    from horizon_etl_spark.cdc.apply import CdcPipeline
+
+    spark = SparkSession.builder.appName("horizon_etl_spark.job_maintain").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    pipe = CdcPipeline.load(args.pipeline_root)
+    target = pipe.target
+    out: dict = {"pipeline_root": args.pipeline_root}
+
+    snap = target.snapshot()
+    current = snap["bucket_count"]
+    if args.rebucket == "auto":
+        want = snap.get("summary", {}).get("rebucket_recommended")
+    elif args.rebucket == "off":
+        want = None
+    else:
+        want = int(args.rebucket)
+    if want and want != current:
+        target.rebucket(spark, want)
+        out["rebucket"] = {"from": current, "to": want}
+    else:
+        out["rebucket"] = None
+
+    out["compact"] = target.compact_buckets(
+        spark, max_files_per_bucket=args.max_files_per_bucket
+    )
+
+    vac = {}
+    for name in ("target", "quarantine", "runs", "metrics", "change_log", "rollup"):
+        keep = (
+            args.vacuum_keep_change_log if name == "change_log" else args.vacuum_keep
+        )
+        vac[name] = getattr(pipe, name).vacuum(
+            keep_versions=keep, min_age_seconds=args.vacuum_min_age
+        )
+    out["vacuum"] = vac
+    out["target_version"] = target.current_version()
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -42,6 +42,17 @@ def parse_args(argv):
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--export-out", default=None, help="omit to skip the export phase")
     ap.add_argument("--filtered-by", default=None)
+    ap.add_argument(
+        "--export-changes",
+        action="store_true",
+        help="also publish the incremental change-log outbox delta",
+    )
+    ap.add_argument(
+        "--maintain",
+        action="store_true",
+        help="run the maintenance phase (advisory rebucket, selective "
+        "compaction, vacuum) after export",
+    )
     ap.add_argument("--feed-format", default="parquet")
     ap.add_argument("--with-rollup", action="store_true")
     ap.add_argument("--master", default="local[8]")
@@ -115,6 +126,32 @@ def main(argv=None) -> int:
         if args.filtered_by:
             export += ["--filtered-by", args.filtered_by]
         rc = run_phase("export", export, args)
+        if rc != 0:
+            return rc
+
+        if args.export_changes:
+            rc = run_phase(
+                "export_changes",
+                [
+                    os.path.join(REPO, "tools", "job_export.py"),
+                    "--pipeline-root", args.pipeline_root,
+                    "--out", args.export_out,
+                    "--changes",
+                ],
+                args,
+            )
+            if rc != 0:
+                return rc
+
+    if args.maintain:
+        rc = run_phase(
+            "maintain",
+            [
+                os.path.join(REPO, "tools", "job_maintain.py"),
+                "--pipeline-root", args.pipeline_root,
+            ],
+            args,
+        )
         if rc != 0:
             return rc
     return 0

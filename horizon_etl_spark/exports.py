@@ -211,21 +211,24 @@ def export_changes(
 
     A run with no new appends publishes nothing and returns
     ``rows == 0`` with the cursor unchanged — so the job is safe on any
-    schedule.  Re-running after a crash between artifact publish and
-    cursor update re-exports the same range under the same delta name
-    (idempotent: the delta link is replaced, consumers keyed on the
-    ``(from, to)`` name see one delta).  If the change-log history was
-    rewritten (``rollback_to_batch``), ``read_appends`` refuses the
-    range and consumers must resync from a full export.
+    schedule.  The authoritative cursor is the DELTA LINK SET itself
+    (max ``to`` among ``<name>_<from>_<to>`` links), not the
+    convenience symlink: a crash between delta publish and cursor
+    update therefore cannot produce an overlapping next delta (the new
+    delta is visible, so the next run starts after it), and re-running
+    is idempotent.  If the change-log history was rewritten
+    (``rollback_to_batch``), ``read_appends`` refuses the range and
+    consumers must resync from a full export.
 
     Reference analogue: the weekly run re-exports canonical state in
     full (canonical_exporter.py:2003-2056); the outbox delta is the
     scale-path replacement this engine adds."""
     to_v = change_log.current_version()
-    try:
-        from_v = int(export_manifest(out_dir, name)["to_version"])
-    except (OSError, KeyError, ValueError):
-        from_v = 1  # the table's "create" commit (empty file set)
+    from_v = 1  # the table's "create" commit (empty file set)
+    if os.path.isdir(out_dir):
+        deltas = list_change_exports(out_dir, name)
+        if deltas:
+            from_v = max(int(d.rsplit("_", 1)[1]) for d in deltas)
     if to_v <= from_v:
         return {"path": None, "from_version": from_v, "to_version": from_v, "n_rows": 0}
 

@@ -206,3 +206,26 @@ def test_incremental_change_export_outbox(spark, tmp_table_dir):
     man = export_manifest(out, "changes")
     assert man["kind"] == "changes"
     assert man["to_version"] == d2["to_version"]
+
+
+def test_change_export_cursor_survives_lost_cursor_link(spark, tmp_table_dir):
+    """Crash window between delta publish and cursor-symlink update:
+    the authoritative cursor is the delta link set, so the next run
+    starts AFTER the published delta — never an overlapping range."""
+    from horizon_etl_spark.cdc.apply import apply_batch
+    from horizon_etl_spark.exports import export_changes, list_change_exports
+
+    feed = change_feed(spark, 1500, 120, seed=37, num_batches=2, max_len=8)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    out = os.path.join(tmp_table_dir, "exports")
+
+    apply_batch(pipe, feed.filter(F.col("batch") == 0).drop("batch"), batch_id=0)
+    d1 = export_changes(spark, pipe.change_log, out, "changes")
+    # simulate the crash: delta link published, cursor link lost
+    os.unlink(os.path.join(out, "changes"))
+
+    apply_batch(pipe, feed.filter(F.col("batch") == 1).drop("batch"), batch_id=1)
+    d2 = export_changes(spark, pipe.change_log, out, "changes")
+    assert d2["from_version"] == d1["to_version"]  # no overlap
+    assert d1["n_rows"] + d2["n_rows"] == pipe.change_log.read(spark).count()
+    assert len(list_change_exports(out, "changes")) == 2

@@ -32,7 +32,7 @@ def _orchestrate(argv, cwd):
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=560,
     )
     phases = [json.loads(l) for l in proc.stdout.strip().splitlines() if l]
     return proc.returncode, phases

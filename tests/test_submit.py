@@ -42,7 +42,7 @@ def _submit(argv, cwd):
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=560,
     )
     assert proc.returncode == 0, proc.stderr[-4000:]
     # the job's single JSON evidence line is the last stdout line

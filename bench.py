@@ -218,6 +218,62 @@ def run_rebucket_bench(spark, num_events: int, num_keys: int) -> dict:
     return out
 
 
+def run_outbox_bench(spark, num_events: int, num_keys: int) -> dict:
+    """Incremental outbox vs full re-export — the O(new changes) vs
+    O(table) claim, measured: build a change-logged table, take one
+    FULL target export, then land a small tail batch (~2% of events)
+    and publish its outbox delta.  At 100 TB the full export is the
+    job you can no longer afford per cycle; the delta costs what the
+    tail batch costs regardless of table size (file-set incremental
+    scan — no full-table read, no row diffing)."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch, replay
+    from horizon_etl_spark.cdc.generator import change_feed
+    from horizon_etl_spark.exports import export_changes, export_table
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "outbox")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    feed = change_feed(
+        spark, num_events, num_keys, seed=47, num_batches=2,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")), partitions=cpus * 2,
+    )
+    feed.write.mode("overwrite").partitionBy("batch").parquet(f"{root}/feed")
+    staged = spark.read.parquet(f"{root}/feed")
+    pipe = CdcPipeline.create(f"{root}/pipe", bucket_count=max(16, cpus))
+    replay(pipe, staged, collect_metrics=False, with_change_log=True)
+    # drain the backlog so the delta below isolates the tail batch
+    export_changes(spark, pipe.change_log, f"{root}/exports", "changes")
+
+    t0 = time.time()
+    full = export_table(spark, pipe.target, f"{root}/exports", "target")
+    full_s = time.time() - t0
+
+    tail_n = max(1000, num_events // 50)
+    tail = change_feed(
+        spark, tail_n, max(100, num_keys // 50), seed=48, num_batches=1,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")),
+    ).drop("batch")
+    tail.write.mode("overwrite").parquet(f"{root}/tail")
+    apply_batch(pipe, spark.read.parquet(f"{root}/tail"), batch_id=100)
+    t0 = time.time()
+    delta = export_changes(spark, pipe.change_log, f"{root}/exports", "changes")
+    delta_s = time.time() - t0
+
+    stats = {
+        "table_rows": full["n_rows"],
+        "full_export_sec": round(full_s, 2),
+        "tail_events": tail_n,
+        "delta_rows": delta["n_rows"],
+        "delta_export_sec": round(delta_s, 2),
+        "speedup": round(full_s / delta_s, 1) if delta_s > 0 else None,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -248,6 +304,10 @@ def main() -> None:
     rebucket = run_rebucket_bench(spark, rb_events, max(1000, rb_events // 10))
     log(f"rebucket: {rebucket}")
 
+    ob_events = int(os.environ.get("BENCH_OUTBOX_EVENTS", num_events // 2))
+    outbox = run_outbox_bench(spark, ob_events, max(1000, ob_events // 20))
+    log(f"outbox: {outbox}")
+
     from horizon_etl_spark.queries import QUERIES
 
     names = os.environ.get("BENCH_QUERIES")
@@ -269,6 +329,7 @@ def main() -> None:
         "cdc": cdc,
         "cdc_attr": cdc_attr,
         "rebucket": rebucket,
+        "outbox": outbox,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

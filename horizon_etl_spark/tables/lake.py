@@ -1190,6 +1190,27 @@ class LakeTable:
     def props(self) -> dict[str, Any]:
         return self.snapshot().get("props", {})
 
+    def set_props(self, props: dict[str, Any]) -> int:
+        """Metadata-only commit merging ``props`` into the table props —
+        the ALTER TABLE SET TBLPROPERTIES analogue (e.g. tune
+        ``target_rows_per_bucket`` on a live table so the next merge's
+        bucket advisory uses the new policy).  The file set is
+        unchanged, so the commit qualifies for ``read_appends``."""
+        snap = self.snapshot()
+        version = snap["version"] + 1
+        self._commit(
+            version,
+            {
+                **snap,
+                "version": version,
+                "parent": snap["version"],
+                "props": {**snap.get("props", {}), **props},
+                "operation": "set_props",
+                "summary": {"set": sorted(props)},
+            },
+        )
+        return version
+
     def vacuum(
         self, keep_versions: int = 2, min_age_seconds: float = 3600.0
     ) -> dict[str, int]:

@@ -1,0 +1,90 @@
+"""In-process tests of the spark-submit job entrypoints (main()
+functions called directly — the subprocess path is covered by
+tests/test_submit.py / test_orchestrate.py).  Focus: the maintenance
+job actually performing work (advisory-driven rebucket, vacuum) and
+the outbox export mode, against oracle-checked state."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+from horizon_etl_spark.cdc.generator import change_feed
+from horizon_etl_spark.cdc.oracle import assert_frames_equal, expected_final
+from tools import job_export, job_maintain
+
+
+def test_set_props_is_metadata_only_commit(spark, tmp_table_dir):
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    feed = change_feed(spark, 500, 50, seed=41, num_batches=1).drop("batch")
+    apply_batch(pipe, feed, batch_id=0)
+    files_before = {f["path"] for f in pipe.target.snapshot()["files"]}
+    v = pipe.target.set_props({"target_rows_per_bucket": 10})
+    snap = pipe.target.snapshot()
+    assert snap["version"] == v and snap["operation"] == "set_props"
+    assert {f["path"] for f in snap["files"]} == files_before
+    assert pipe.target.props["target_rows_per_bucket"] == 10
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+
+
+def test_job_maintain_advisory_rebucket_and_vacuum(spark, tmp_table_dir, capsys):
+    """End-to-end maintenance: tighten the bucket policy on a live
+    table, merge (advisory fires), run the maintain job — it must
+    rebucket to the recommendation, sweep, vacuum old snapshots, and
+    leave the data bit-identical."""
+    root = os.path.join(tmp_table_dir, "p")
+    pipe = CdcPipeline.create(root, bucket_count=4)
+    feed = change_feed(spark, 4000, 400, seed=43, num_batches=2)
+    pipe.target.set_props({"target_rows_per_bucket": 20})
+    for b in (0, 1):
+        apply_batch(pipe, feed.filter(F.col("batch") == b).drop("batch"), batch_id=b)
+    assert pipe.target.snapshot()["summary"].get("rebucket_recommended", 0) > 4
+
+    rc = job_maintain.main(
+        [
+            "--pipeline-root", root,
+            "--vacuum-keep", "1",
+            "--vacuum-keep-change-log", "2",
+            "--vacuum-min-age", "0",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebucket"]["from"] == 4 and out["rebucket"]["to"] > 4
+
+    t = CdcPipeline.load(root).target
+    assert t.snapshot()["bucket_count"] == out["rebucket"]["to"]
+    assert_frames_equal(t.read(spark), expected_final(feed))
+    # vacuum really expired history (only the latest target snapshot left)
+    assert out["vacuum"]["target"]["removed_snapshots"] > 0
+    assert len(t.history()) == 1
+
+    # idempotent: a second run has nothing to do and changes nothing
+    v = t.current_version()
+    assert job_maintain.main(["--pipeline-root", root, "--vacuum-min-age", "0"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rebucket"] is None
+    assert CdcPipeline.load(root).target.current_version() == v
+    assert_frames_equal(CdcPipeline.load(root).target.read(spark), expected_final(feed))
+
+
+def test_job_export_changes_mode(spark, tmp_table_dir, capsys):
+    root = os.path.join(tmp_table_dir, "p")
+    out_dir = os.path.join(tmp_table_dir, "exports")
+    pipe = CdcPipeline.create(root, bucket_count=4)
+    feed = change_feed(spark, 800, 80, seed=53, num_batches=1).drop("batch")
+    apply_batch(pipe, feed, batch_id=0)
+
+    assert job_export.main(
+        ["--pipeline-root", root, "--out", out_dir, "--changes"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == pipe.change_log.read(spark).count() > 0
+
+    # second run with no new changes: no-op cursor semantics
+    assert job_export.main(
+        ["--pipeline-root", root, "--out", out_dir, "--changes"]
+    ) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["rows"] == 0 and res2["from_version"] == res["to_version"]

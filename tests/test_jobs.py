@@ -88,3 +88,34 @@ def test_job_export_changes_mode(spark, tmp_table_dir, capsys):
     ) == 0
     res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res2["rows"] == 0 and res2["from_version"] == res["to_version"]
+
+
+def test_job_export_time_travel_version(spark, tmp_table_dir, capsys):
+    """--version reproduces a PAST artifact even after later merges."""
+    from horizon_etl_spark.exports import read_export
+
+    root = os.path.join(tmp_table_dir, "p")
+    out_dir = os.path.join(tmp_table_dir, "exports")
+    pipe = CdcPipeline.create(root, bucket_count=4)
+    feed = change_feed(spark, 1200, 100, seed=59, num_batches=2)
+    apply_batch(pipe, feed.filter(F.col("batch") == 0).drop("batch"), batch_id=0)
+    v_old = pipe.target.current_version()
+    old_state = expected_final(feed.filter(F.col("batch") == 0))
+    apply_batch(pipe, feed.filter(F.col("batch") == 1).drop("batch"), batch_id=1)
+
+    assert job_export.main(
+        ["--pipeline-root", root, "--out", out_dir,
+         "--name", "asof", "--version", str(v_old)]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["source_version"] == v_old
+    art = read_export(spark, out_dir, "asof")
+    assert_frames_equal(
+        art.select("doc_id", "tokens", "n_tok", "source"), old_state
+    )
+
+    # the combination that would silently mix snapshots is rejected
+    assert job_export.main(
+        ["--pipeline-root", root, "--out", out_dir,
+         "--version", str(v_old), "--filtered-by", "source"]
+    ) == 2

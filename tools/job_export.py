@@ -45,6 +45,13 @@ def parse_args(argv):
         help="comma-separated payload columns to pass through pii.deep_scrub",
     )
     ap.add_argument(
+        "--version",
+        type=int,
+        default=None,
+        help="export this target snapshot version instead of the latest "
+        "(time travel — reproduce a past artifact bit-for-bit)",
+    )
+    ap.add_argument(
         "--changes",
         action="store_true",
         help="incremental outbox mode: publish only the change-log rows "
@@ -56,6 +63,14 @@ def parse_args(argv):
 
 def main(argv=None) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.version is not None and args.filtered_by:
+        # export_filtered_views pins its own (current) snapshot; a stale
+        # --version alongside it would silently mix two versions
+        print(
+            "error: --version cannot be combined with --filtered-by",
+            file=sys.stderr,
+        )
+        return 2
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -68,7 +83,7 @@ def main(argv=None) -> int:
     spark.sparkContext.setLogLevel("WARN")
 
     pipe = CdcPipeline.load(args.pipeline_root)
-    version = pipe.target.current_version()
+    version = args.version if args.version is not None else pipe.target.current_version()
     scrub = None
     if args.deep_scrub_cols:
         scrub = partial(deep_scrub, cols=args.deep_scrub_cols.split(","))

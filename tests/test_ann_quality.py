@@ -30,26 +30,42 @@ def brute_force(spark):
     }
 
 
-def _recall(spark, name, brute_force):
-    from horizon_etl_spark.queries import QUERIES
-
+def _recall(spark, fn, brute_force):
     approx = {
         (r["qid"], r["nid"])
-        for r in QUERIES[name](spark, SF_DIR).collect()
+        for r in fn(spark, SF_DIR).collect()
         if r["qid"] < 100
     }
     return len(brute_force & approx) / len(brute_force)
 
 
 def test_lsh_recall(spark, brute_force):
-    assert _recall(spark, "knn_lsh", brute_force) >= 0.8
+    from horizon_etl_spark.queries.vectors import knn_lsh
+
+    assert _recall(spark, knn_lsh, brute_force) >= 0.8
 
 
 def test_ivf_recall_beats_random_baseline(spark, brute_force):
+    from horizon_etl_spark.queries.vectors import ivf_probe
+
     # random probing of 6/16 cells would land ~0.375 recall in
     # expectation ONLY if cells carried no information; the probe must
     # clear the measured structureless-data band
-    assert _recall(spark, "ivf_probe", brute_force) >= 0.3
+    assert _recall(spark, ivf_probe, brute_force) >= 0.3
+
+
+def test_recall_witness_rows_pass(spark):
+    """The registry's driver-checkable ANN rows (knn_lsh_recall /
+    ivf_probe_recall) must emit their pass flag = 1 — the same row the
+    driver hash-compares against the constant oracle."""
+    from horizon_etl_spark.queries import QUERIES
+
+    lsh = QUERIES["knn_lsh_recall"](spark, SF_DIR).collect()
+    assert len(lsh) == 1 and lsh[0]["recall_ge_85"] == 1
+    assert lsh[0]["n_truth"] == 500
+    ivf = QUERIES["ivf_probe_recall"](spark, SF_DIR).collect()
+    assert len(ivf) == 1 and ivf[0]["recall_ge_60"] == 1
+    assert ivf[0]["n_truth"] == 250
 
 
 def test_near_dup_lsh_matches_oracle_twin(spark):
@@ -77,10 +93,15 @@ def test_near_dup_lsh_matches_oracle_twin(spark):
 
 def test_topk_shape(spark):
     from horizon_etl_spark.queries import QUERIES
+    from horizon_etl_spark.queries.vectors import ivf_probe, knn_lsh
     from pyspark.sql import functions as F
 
-    for name in ("knn_bruteforce", "knn_lsh", "ivf_probe"):
-        df = QUERIES[name](spark, SF_DIR)
+    for name, fn in (
+        ("knn_bruteforce", QUERIES["knn_bruteforce"]),
+        ("knn_lsh", knn_lsh),
+        ("ivf_probe", ivf_probe),
+    ):
+        df = fn(spark, SF_DIR)
         per_q = df.groupBy("qid").agg(
             F.count(F.lit(1)).alias("k"), F.countDistinct("nid").alias("d")
         )

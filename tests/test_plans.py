@@ -16,7 +16,10 @@ KERNEL = {"cdc_apply_events", "cdc_attr_lww_state", "cdc_attr_change_log"}
 
 # knn_bruteforce is the documented brute-force baseline: its qid != nid
 # theta-join IS a nested-loop by construction (bounded to 100 queries).
-THETA_BASELINE = {"knn_bruteforce"}
+# The two recall witnesses embed that same bounded baseline as their
+# ground truth (their ANN half stays equi-join-only — asserted directly
+# in tests/test_ann_quality.py).
+THETA_BASELINE = {"knn_bruteforce", "knn_lsh_recall", "ivf_probe_recall"}
 
 
 def _plan(df) -> str:

@@ -185,7 +185,13 @@ def apply_batch(
         # one; cross-batch dups are killed by the merge lsn-guard.
         valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
         if salted_lww == "auto":
-            salted_lww = _last_batch_was_skewed(pipe, spark)
+            # metrics-based predictor (temporal locality: last batch's
+            # hot-key share), OR'd with the PLAN-level predictor so the
+            # FIRST batch of a key-partitioned feed already salts — the
+            # metrics signal needs one degraded batch to exist first
+            salted_lww = _last_batch_was_skewed(pipe, spark) or _feed_defeats_partial_agg(
+                valid
+            )
         if attr_mode:
             from horizon_etl_spark.cdc.attrs import (
                 attr_lww_reduce,
@@ -362,6 +368,39 @@ def _reason(fields_col: str | None = None, whitelist: tuple[str, ...] | None = N
     return reason_column(
         whitelist=whitelist or SOURCE_WHITELIST_DEFAULT, fields_col=fields_col
     )
+
+
+def _feed_defeats_partial_agg(df: DataFrame, key: str = "doc_id") -> bool:
+    """PLAN-level skew predictor — covers batch 0, where the metrics
+    predictor has no history yet.
+
+    The degradation case (measured 2.7× in BENCH.md's skew table) is a
+    feed whose in-session lineage is already hash-partitioned on the
+    key (upstream ``repartition(key)``, or a prior groupBy/join on it):
+    the LWW aggregation's required distribution is then satisfied, so
+    EnsureRequirements inserts no pre-agg Exchange and the partial
+    aggregate runs AFTER the existing shuffle — every event of a hot
+    key flows through one task with no cross-partition map-side
+    combine.  Plain parquet/stream reads report Unknown/range
+    partitioning (Spark doesn't trust on-disk layout), so normal feeds
+    keep the plain fast path.
+
+    Detection is O(plan), no job: the batch's physical plan must not
+    claim ``hashpartitioning(<key>...)`` as its output partitioning.
+    """
+    import re
+
+    try:
+        part = (
+            df._jdf.queryExecution().sparkPlan().outputPartitioning().toString()
+        )
+        # exactly hashpartitioning(<key>#<exprId>, <numPartitions>) —
+        # a multi-column hashpartitioning does NOT satisfy the agg's
+        # single-key distribution (Spark still inserts the Exchange),
+        # so it must not trigger the salted path
+        return bool(re.search(rf"hashpartitioning\({re.escape(key)}#\d+, \d+\)", part))
+    except Exception:
+        return False
 
 
 def _last_batch_was_skewed(pipe: CdcPipeline, spark: SparkSession) -> bool:

@@ -208,11 +208,12 @@ def apply_batch(
                 valid.drop("ts"), key="doc_id", order="lsn", with_counts=True, **kwargs
             ).persist()
 
-        # materialize the reduction (fills the cache every later step
-        # reuses) — this is the single pass over the raw batch, and the
-        # action that fires the Observation
-        winners.count()
-
+        # No explicit materialize: the FIRST downstream action over the
+        # persisted winners — the metrics aggregation, or the merge's
+        # bucket-prune scan — runs the reduction, fills the cache every
+        # later step reuses, and fires the Observation.  (A dedicated
+        # winners.count() here was one whole extra job per batch for
+        # work the next action repeats from cache anyway.)
         if collect_metrics:
             _write_bucket_metrics(pipe, winners, batch_id)
 
@@ -295,9 +296,7 @@ def apply_batch(
                 }
             ),
         }
-        pipe.runs.append(
-            spark.createDataFrame([run], S.RUNS_SCHEMA), operation=f"run(batch={batch_id})"
-        )
+        pipe.runs.append_rows([run], operation=f"run(batch={batch_id})")
         return run
     except Exception:
         failed = {
@@ -315,7 +314,7 @@ def apply_batch(
             "versions": None,
         }
         try:
-            pipe.runs.append(spark.createDataFrame([failed], S.RUNS_SCHEMA))
+            pipe.runs.append_rows([failed])
         except Exception:
             pass
         raise
@@ -513,17 +512,17 @@ def _write_bucket_metrics(pipe: CdcPipeline, winners: DataFrame, batch_id: int) 
     from horizon_etl_spark.tables.lake import bucket_expr
 
     nb = pipe.target.bucket_count or 16
-    m = (
-        winners.groupBy(bucket_expr("doc_id", nb).alias("bucket_id"))
-        .agg(
-            F.sum("_key_events").alias("rows_in"),
-            F.count(F.lit(1)).alias("distinct_keys"),
-            F.max("_key_events").alias("max_key_rows"),
-            F.sum(F.coalesce(F.col("n_tok"), F.lit(0)) * 4 + 64).alias("winner_bytes"),
-        )
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+    m = winners.groupBy(bucket_expr("doc_id", nb).alias("bucket_id")).agg(
+        F.sum("_key_events").alias("rows_in"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("_key_events").alias("max_key_rows"),
+        F.sum(F.coalesce(F.col("n_tok"), F.lit(0)) * 4 + 64).alias("winner_bytes"),
     )
-    pipe.metrics.append(m, operation=f"metrics(batch={batch_id})")
+    # O(buckets) rows: collect + driver-side parquet append (no second
+    # Spark job for the write); this collect is also the action that
+    # materializes the winners cache and fires the apply Observation
+    rows = [{**r.asDict(), "batch_id": batch_id} for r in m.collect()]
+    pipe.metrics.append_rows(rows, operation=f"metrics(batch={batch_id})")
 
 
 def reprocess_quarantine(
@@ -746,9 +745,7 @@ def bootstrap(
             {name: getattr(pipe, name).current_version() for name in ROLLBACK_TABLES}
         ),
     }
-    pipe.runs.append(
-        spark.createDataFrame([run], S.RUNS_SCHEMA), operation="run(bootstrap)"
-    )
+    pipe.runs.append_rows([run], operation="run(bootstrap)")
     return {
         "version": version,
         "input_rows": input_rows,
@@ -819,8 +816,5 @@ def rollback_to_batch(
         "notes": f"rolled back to post-batch-{batch_id} snapshots",
         "versions": json.dumps(restored),
     }
-    pipe.runs.append(
-        spark.createDataFrame([audit], S.RUNS_SCHEMA),
-        operation=f"rollback(batch={batch_id})",
-    )
+    pipe.runs.append_rows([audit], operation=f"rollback(batch={batch_id})")
     return restored

@@ -1,0 +1,131 @@
+"""10× scale-evidence run (round-4 item: every prior number was
+sf0.1-sized, where bucket-count and compaction effects are sub-noise).
+
+Two sections, printed as ONE JSON line and meant for BENCH.md:
+
+* ``cdc10x`` — the exact sf0.1 CDC protocol (same generator, same
+  512-token payloads, same 4-batch replay) at 10× events.  The number
+  that matters is events_per_sec vs the sf0.1 run: flat-or-better means
+  the apply path's costs are O(data) with no superlinear term hiding in
+  the fixed-overhead shadow.
+
+* ``rebucket10x`` — the advisory→rebucket→compact policy loop at a size
+  where a bucket EXCEEDS one task's comfortable write: ~1M keys of
+  ~1 KB rows in 4 buckets ≈ 250 MB per bucket file, so pre-rebucket
+  merges funnel the copy-on-write rewrite through 4 writer tasks.
+  After the advisory fires and rebucket() spreads the table across the
+  recommended layout, the same-size next batch must merge measurably
+  faster — the before/after delta the sf0.1 section could not show.
+
+Run it ALONE (same rule as tools/bench_scaling.py): concurrent Spark
+jobs contaminate the bandwidth-dense phases.
+
+Usage: python tools/bench_scale10.py [--out BENCH_scale10.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None, help="also write the JSON line here")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--events", type=int, default=10_000_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    import bench
+    from horizon_etl_spark.cdc import schema as S
+    from horizon_etl_spark.cdc.generator import change_feed
+    from horizon_etl_spark.cdc.lww import lww_reduce
+    from horizon_etl_spark.session import build_session
+    from horizon_etl_spark.tables.lake import LakeTable
+
+    spark = build_session(
+        "horizon-etl-bench-scale10",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus * 2,
+    )
+
+    # --- cdc at 10x, identical protocol to bench.py's sf0.1 section
+    num_events = args.events
+    num_keys = max(1000, num_events // 20)
+    cdc = bench.run_cdc_bench(spark, num_events, num_keys)
+    bench.log(f"cdc10x: {cdc}")
+
+    # --- rebucket loop at a size where bucket file size matters
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "rebucket10x")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    rb_events, rb_keys = num_events // 2, 1_000_000
+    feed = change_feed(
+        spark, rb_events, rb_keys, seed=44, num_batches=3,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")),
+        partitions=args.cpus * 2,
+    )
+    feed.write.mode("overwrite").partitionBy("batch").parquet(f"{root}/feed")
+    staged = spark.read.parquet(f"{root}/feed")
+
+    target = LakeTable.create(
+        f"{root}/t", S.TARGET_SCHEMA, key_col="doc_id", bucket_count=4,
+        props={"target_rows_per_bucket": max(1, rb_keys // 32)},
+    )
+
+    def merge_batch(b: int) -> float:
+        batch = staged.filter(F.col("batch") == b).drop("batch", "ts")
+        winners = lww_reduce(batch, key="doc_id", order="lsn")
+        t0 = time.time()
+        target.merge(winners)
+        return round(time.time() - t0, 2)
+
+    merge_batch(0)
+    pre_sec = merge_batch(1)
+    snap = target.snapshot()
+    advisory = snap["summary"].get("rebucket_recommended")
+    table_rows = sum(f["rows"] for f in snap["files"] if f["rows"] > 0)
+    rb = {
+        "buckets_before": 4,
+        "table_rows": table_rows,
+        "advisory": advisory,
+        "pre_merge_sec": pre_sec,
+    }
+    if advisory:
+        t0 = time.time()
+        target.rebucket(spark, advisory)
+        rb["rebucket_sec"] = round(time.time() - t0, 2)
+        rb["post_merge_sec"] = merge_batch(2)
+        rb["buckets_after"] = advisory
+        rb["merge_speedup"] = round(pre_sec / rb["post_merge_sec"], 2)
+        t0 = time.time()
+        rb["compact"] = target.compact_buckets(spark, max_files_per_bucket=1)
+        rb["compact_sec"] = round(time.time() - t0, 2)
+    bench.log(f"rebucket10x: {rb}")
+    shutil.rmtree(root, ignore_errors=True)
+
+    out = {
+        "metric": "scale10x_evidence",
+        "cpus": args.cpus,
+        "cdc10x": cdc,
+        "rebucket10x": rb,
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,6 +41,7 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="also write the JSON line here")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--events", type=int, default=10_000_000)
+    ap.add_argument("--skip-cdc", action="store_true", help="rerun only the rebucket section")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -61,16 +62,23 @@ def main() -> int:
     # --- cdc at 10x, identical protocol to bench.py's sf0.1 section
     num_events = args.events
     num_keys = max(1000, num_events // 20)
-    cdc = bench.run_cdc_bench(spark, num_events, num_keys)
-    bench.log(f"cdc10x: {cdc}")
+    if args.skip_cdc:
+        cdc = None
+    else:
+        cdc = bench.run_cdc_bench(spark, num_events, num_keys)
+        bench.log(f"cdc10x: {cdc}")
 
     # --- rebucket loop at a size where bucket file size matters
     root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "rebucket10x")
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root, exist_ok=True)
     rb_events, rb_keys = num_events // 2, 1_000_000
+    # zipf_s=0.0 degenerates the bounded-Pareto key draw to UNIFORM —
+    # this section measures bucket-file-size effects, so nearly every
+    # key must materialize (the default 1.2 concentrates 5M events on
+    # ~100k distinct keys and the table never outgrows 4 buckets)
     feed = change_feed(
-        spark, rb_events, rb_keys, seed=44, num_batches=3,
+        spark, rb_events, rb_keys, seed=44, num_batches=3, zipf_s=0.0,
         max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")),
         partitions=args.cpus * 2,
     )
@@ -89,8 +97,29 @@ def main() -> int:
         target.merge(winners)
         return round(time.time() - t0, 2)
 
+    def merge_small_tail(n_keys: int, lsn_off: int) -> dict:
+        """A tail batch touching only ``n_keys`` keys — the rewrite-
+        amplification probe: a copy-on-write merge must rewrite every
+        FILE containing a touched key, so with buckets ≤ keys the whole
+        table rewrites and with buckets > keys at most n_keys bucket
+        files do.  This is the concrete benefit of the advisory at
+        scale: touched-bucket pruning bounds small-batch write cost."""
+        tail = change_feed(
+            spark, 2_000, n_keys, seed=45, num_batches=1, zipf_s=0.0,
+            max_len=64,
+        ).drop("batch", "ts").withColumn("lsn", F.col("lsn") + lsn_off)
+        winners = lww_reduce(tail, key="doc_id", order="lsn")
+        t0 = time.time()
+        st = target.merge(winners)
+        return {
+            "sec": round(time.time() - t0, 2),
+            "rewritten_files": st["rewritten_files"],
+            "carried_files": st["carried_files"],
+        }
+
     merge_batch(0)
     pre_sec = merge_batch(1)
+    pre_tail = merge_small_tail(8, 100_000_000)
     snap = target.snapshot()
     advisory = snap["summary"].get("rebucket_recommended")
     table_rows = sum(f["rows"] for f in snap["files"] if f["rows"] > 0)
@@ -99,6 +128,7 @@ def main() -> int:
         "table_rows": table_rows,
         "advisory": advisory,
         "pre_merge_sec": pre_sec,
+        "pre_tail8": pre_tail,
     }
     if advisory:
         t0 = time.time()
@@ -107,6 +137,7 @@ def main() -> int:
         rb["post_merge_sec"] = merge_batch(2)
         rb["buckets_after"] = advisory
         rb["merge_speedup"] = round(pre_sec / rb["post_merge_sec"], 2)
+        rb["post_tail8"] = merge_small_tail(8, 200_000_000)
         t0 = time.time()
         rb["compact"] = target.compact_buckets(spark, max_files_per_bucket=1)
         rb["compact_sec"] = round(time.time() - t0, 2)
@@ -119,6 +150,12 @@ def main() -> int:
         "cdc10x": cdc,
         "rebucket10x": rb,
     }
+    if args.skip_cdc and args.out and os.path.exists(args.out):
+        # merge the fresh rebucket section over a prior full run
+        with open(args.out) as fh:
+            prior = json.loads(fh.read())
+        if prior.get("cdc10x"):
+            out["cdc10x"] = prior["cdc10x"]
     line = json.dumps(out)
     print(line)
     if args.out:

@@ -625,7 +625,8 @@ class LakeTable:
         entries = []
         for fn in sorted(os.listdir(out_dir)):
             if fn.endswith(".parquet"):
-                entries.append(FileEntry(os.path.join(rel_dir, fn), -1, -1, None, None))
+                rows, _, _ = _footer_stats(os.path.join(out_dir, fn), None)
+                entries.append(FileEntry(os.path.join(rel_dir, fn), -1, rows, None, None))
         return entries
 
     # ------------------------------------------------- shared merge plumbing

@@ -64,15 +64,27 @@ def test_orchestrated_phases_and_crash_containment(spark, tmp_path):
     ]
     rc, phases = _orchestrate(
         [*common, "--export-out", os.path.join(scratch, "exports"),
-         "--filtered-by", "source", "--export-changes", "--maintain"],
+         "--filtered-by", "source", "--export-changes", "--maintain",
+         "--report-out", os.path.join(scratch, "reports")],
         cwd=scratch,
     )
     assert rc == 0, phases
     by_name = {p["phase"]: p for p in phases}
     assert [p["phase"] for p in phases] == [
-        "ingest", "export", "export_changes", "maintain"
+        "ingest", "export", "export_changes", "maintain", "report"
     ]
     assert all(p["exit_code"] == 0 for p in phases)
+
+    # the flow ends with the report artifact (reference: the reporter
+    # always writes at flow end); clean pipeline → no warnings
+    rep = by_name["report"]["result"]
+    assert os.path.exists(rep["report"])
+    import json as _json
+
+    with open(rep["report"]) as fh:
+        doc = _json.load(fh)
+    assert doc["final_tables"]["target"] > 0
+    assert "quarantine" not in doc["warnings_by_source"]
 
     # cross-process equality: artifact == lake state == oracle
     pipe = CdcPipeline.load(root)

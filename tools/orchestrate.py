@@ -55,6 +55,11 @@ def parse_args(argv):
     )
     ap.add_argument("--feed-format", default="parquet")
     ap.add_argument("--with-rollup", action="store_true")
+    ap.add_argument(
+        "--report-out",
+        default=None,
+        help="emit the flow-report artifact (json+md) here as the final phase",
+    )
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--conf", action="append", default=[])
     ap.add_argument(
@@ -149,6 +154,21 @@ def main(argv=None) -> int:
             [
                 os.path.join(REPO, "tools", "job_maintain.py"),
                 "--pipeline-root", args.pipeline_root,
+            ],
+            args,
+        )
+        if rc != 0:
+            return rc
+
+    if args.report_out is not None:
+        # the reference's flow always ends by writing its report
+        # artifact (etl_flow_reporter.write); same final-phase slot here
+        rc = run_phase(
+            "report",
+            [
+                os.path.join(REPO, "tools", "job_report.py"),
+                "--pipeline-root", args.pipeline_root,
+                "--out", args.report_out,
             ],
             args,
         )

@@ -79,23 +79,39 @@ def test_replica_converges_from_outbox_deltas(spark, tmp_table_dir):
 
 
 def _evolved_feed(spark, n, keys, seed, batches):
-    """Attr feed whose update events also assert a post-creation
-    ``langs: array<string>`` payload column (the container type whose
-    plain string cast does NOT round-trip — the hard case)."""
+    """Attr feed whose update events also assert two post-creation
+    container columns: ``langs: array<string>`` (the type whose plain
+    string cast does NOT round-trip — the hard case, with commas and
+    quotes inside elements) and a nested ``meta struct<a:int,b:string>``
+    (the struct round-trip witness)."""
     feed = change_feed(spark, n, keys, seed=seed, num_batches=batches, max_len=8)
     m = F.pmod(F.xxhash64("lsn"), F.lit(3))
     is_del = F.col("op") == "delete"
     fields = (
         F.when(is_del, F.lit(None).cast("array<string>"))
         .when(m == 0, F.lit(None).cast("array<string>"))  # full-row: all cols
-        .when(m == 1, F.array(F.lit("tokens"), F.lit("n_tok"), F.lit("langs")))
+        .when(
+            m == 1,
+            F.array(F.lit("tokens"), F.lit("n_tok"), F.lit("langs"), F.lit("meta")),
+        )
         .otherwise(F.array(F.lit("source")))
     )
     langs = F.when(
         ~is_del,
         F.array(F.lit("pt, BR"), F.concat(F.lit('l"x'), F.col("lsn").cast("string"))),
     )
-    return feed.withColumn("fields", fields).withColumn("langs", langs)
+    meta = F.when(
+        ~is_del,
+        F.struct(
+            F.pmod(F.col("lsn"), F.lit(97)).cast("int").alias("a"),
+            F.concat(F.lit('q"'), F.col("lsn").cast("string")).alias("b"),
+        ),
+    )
+    return (
+        feed.withColumn("fields", fields)
+        .withColumn("langs", langs)
+        .withColumn("meta", meta)
+    )
 
 
 def test_replica_evolves_with_primary_and_roundtrips_string_arrays(
@@ -140,10 +156,14 @@ def test_replica_evolves_with_primary_and_roundtrips_string_arrays(
     # single-merge catch-up: ≤ evolve + merge + cursor commits for the
     # WHOLE backlog, never one merge per delta
     assert replica.current_version() - v_before <= 3
-    assert "langs" in [f.name for f in replica.schema().fields]
+    names = [f.name for f in replica.schema().fields]
+    assert "langs" in names and "meta" in names
     assert_frames_equal(replica.read(spark), pipe.target.read(spark))
     assert dict(replica.read(spark).select("doc_id", "langs").collect()) == dict(
         pipe.target.read(spark).select("doc_id", "langs").collect()
+    )
+    assert dict(replica.read(spark).select("doc_id", "meta").collect()) == dict(
+        pipe.target.read(spark).select("doc_id", "meta").collect()
     )
 
     # idempotent re-apply of the evolved backlog is still a no-op

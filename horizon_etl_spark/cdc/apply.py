@@ -218,11 +218,16 @@ def apply_batch(
             _write_bucket_metrics(pipe, winners, batch_id)
 
         pre_merge_version = pipe.target.current_version() if with_rollup else None
+        # cache the merge join when anything re-reads it: the change-log
+        # sink append, or rollup maintenance evaluating the returned
+        # change images right after the merge (still-warm cache)
+        persist_join = with_change_log or with_rollup
         if attr_mode:
             stats = pipe.target.merge_attrs(
                 winners.drop("_key_events"),
                 change_log_sink=pipe.change_log if with_change_log else None,
                 change_log_extra={"batch_id": batch_id},
+                persist_join=persist_join,
             )
         else:
             stats = pipe.target.merge(
@@ -232,6 +237,7 @@ def apply_batch(
                 delete_op="delete",
                 change_log_sink=pipe.change_log if with_change_log else None,
                 change_log_extra={"batch_id": batch_id},
+                persist_join=persist_join,
             )
 
         # counts rode the winners materialization; fall back to a

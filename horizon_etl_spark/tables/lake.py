@@ -682,6 +682,7 @@ class LakeTable:
         delete_op: str = "delete",
         change_log_sink: "LakeTable | None" = None,
         change_log_extra: dict[str, Any] | None = None,
+        persist_join: bool | None = None,
     ) -> dict[str, Any]:
         """Copy-on-write keyed MERGE — the engine's `MERGE INTO`.
 
@@ -759,8 +760,21 @@ class LakeTable:
             F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)).alias("_t_tomb"),
             *[F.col(c).alias(f"_t_{c}") for c in data_cols if c != key],
         )
+        # Cache the join ONLY when a second consumer re-reads it — the
+        # in-call change-log sink append, or (persist_join=True from
+        # the caller) the returned change-image frame, which a rollup
+        # maintainer evaluates moments later against the still-warm
+        # cache (unpersist below is non-blocking).  On the lineage-off
+        # throughput path the data write is the single pass, and
+        # pushing ~2 copies of every token array per batch through the
+        # memory bus just to fill a cache nobody reads is pure
+        # overhead; the rare degenerate stats fallback simply
+        # recomputes.
+        if persist_join is None:
+            persist_join = change_log_sink is not None
         j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer")
-        j = j.persist()  # consumed by merged write, change log, stats
+        if persist_join:
+            j = j.persist()  # consumed by merged write + change images
 
         fresh = F.col("_s_key").isNotNull() & (
             F.col("_t_key").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
@@ -865,7 +879,8 @@ class LakeTable:
             stats_row = j.agg(
                 *[e.alias(k) for k, e in stat_exprs.items()]
             ).collect()[0].asDict()
-        j.unpersist()
+        if persist_join:
+            j.unpersist()
 
         summary = {
             "batch_rows": int(stats_row["batch_rows"] or 0),
@@ -911,6 +926,7 @@ class LakeTable:
         winners: DataFrame,
         change_log_sink: "LakeTable | None" = None,
         change_log_extra: dict[str, Any] | None = None,
+        persist_join: bool | None = None,
     ) -> dict[str, Any]:
         """Field-level (per-attribute) LWW MERGE for partial-update
         change events — the reference's core conflict resolution:
@@ -1042,16 +1058,20 @@ class LakeTable:
             )
             return new_v, new_al
 
-        j = (
-            t.join(s, t["_t_key"] == s["_s_key"], "full_outer")
-            .select(
-                "*",
-                *[resolved(c)[0].alias(f"_n_{c}") for c in payload_cols],
-                *[resolved(c)[1].alias(f"_n_al_{c}") for c in payload_cols],
-                F.when(del_m >= 0, del_m).alias("_n_del"),
-            )
-            .persist()
+        # same conditional-cache rule as merge(): persist only when the
+        # sink append or the caller's change-image consumer re-reads j;
+        # the lineage-off path's single write pass should not pay a
+        # cache fill of every token array
+        if persist_join is None:
+            persist_join = change_log_sink is not None
+        j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer").select(
+            "*",
+            *[resolved(c)[0].alias(f"_n_{c}") for c in payload_cols],
+            *[resolved(c)[1].alias(f"_n_al_{c}") for c in payload_cols],
+            F.when(del_m >= 0, del_m).alias("_n_del"),
         )
+        if persist_join:
+            j = j.persist()
 
         def _greatest(cols):
             return cols[0] if len(cols) == 1 else F.greatest(*cols)
@@ -1210,7 +1230,8 @@ class LakeTable:
             stats_row = j.agg(
                 *[e.alias(k) for k, e in stat_exprs.items()]
             ).collect()[0].asDict()
-        j.unpersist()
+        if persist_join:
+            j.unpersist()
 
         summary = {
             "batch_rows": int(stats_row["batch_rows"] or 0),

@@ -274,6 +274,69 @@ def run_outbox_bench(spark, num_events: int, num_keys: int) -> dict:
     return stats
 
 
+def run_replica_bench(spark, num_events: int, num_keys: int, deltas: int = 6) -> dict:
+    """Outbox replication catch-up: a replica that is ``deltas``
+    publishes behind must drain the WHOLE backlog in one merge + one
+    cursor commit (O(1) Spark jobs however deep the backlog — round 4's
+    single-merge consumer), and converge to the primary's state."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc import schema as S
+    from horizon_etl_spark.cdc.apply import CdcPipeline, apply_batch
+    from horizon_etl_spark.cdc.generator import change_feed
+    from horizon_etl_spark.cdc.replicate import replicate_from_outbox
+    from horizon_etl_spark.exports import export_changes
+    from horizon_etl_spark.tables.lake import LakeTable
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "replica")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    feed = change_feed(
+        spark, num_events, num_keys, seed=49, num_batches=deltas,
+        max_len=int(os.environ.get("BENCH_CDC_MAXLEN", "512")), partitions=cpus,
+    )
+    m = F.pmod(F.xxhash64("lsn"), F.lit(3))
+    fields = (
+        F.when(F.col("op") == "delete", F.lit(None).cast("array<string>"))
+        .when(m == 0, F.lit(None).cast("array<string>"))
+        .when(m == 1, F.array(F.lit("tokens"), F.lit("n_tok")))
+        .otherwise(F.array(F.lit("source")))
+    )
+    feed.withColumn("fields", fields).write.mode("overwrite").partitionBy(
+        "batch"
+    ).parquet(f"{root}/feed")
+    staged = spark.read.parquet(f"{root}/feed")
+
+    pipe = CdcPipeline.create(f"{root}/pipe", bucket_count=max(16, cpus), attr_lww=True)
+    out = f"{root}/exports"
+    for b in range(deltas):
+        apply_batch(
+            pipe, staged.filter(F.col("batch") == b).drop("batch"),
+            batch_id=b, collect_metrics=False,
+        )
+        export_changes(spark, pipe.change_log, out, "changes", target=pipe.target)
+
+    replica = LakeTable.create(
+        f"{root}/replica", S.TARGET_SCHEMA, key_col="doc_id",
+        bucket_count=max(16, cpus), attr_lww=True,
+    )
+    v0 = replica.current_version()
+    t0 = time.time()
+    res = replicate_from_outbox(spark, out, "changes", replica)
+    catchup_s = time.time() - t0
+    lag = replica.read(spark).exceptAll(pipe.target.read(spark)).count()
+    stats = {
+        "backlog_deltas": len(res["applied_deltas"]),
+        "change_rows": res["change_rows"],
+        "catchup_sec": round(catchup_s, 2),
+        "replica_commits": replica.current_version() - v0,
+        "diverged_rows": lag,
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return stats
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -308,6 +371,10 @@ def main() -> None:
     outbox = run_outbox_bench(spark, ob_events, max(1000, ob_events // 20))
     log(f"outbox: {outbox}")
 
+    rp_events = int(os.environ.get("BENCH_REPLICA_EVENTS", num_events // 5))
+    replica = run_replica_bench(spark, rp_events, max(1000, rp_events // 20))
+    log(f"replica: {replica}")
+
     from horizon_etl_spark.queries import QUERIES
 
     names = os.environ.get("BENCH_QUERIES")
@@ -330,6 +397,7 @@ def main() -> None:
         "cdc_attr": cdc_attr,
         "rebucket": rebucket,
         "outbox": outbox,
+        "replica": replica,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

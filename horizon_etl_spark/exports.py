@@ -390,6 +390,73 @@ def export_graph(
     return {"path": link, "n_nodes": counts["nodes"], "n_edges": counts["edges"]}
 
 
+def bundle_exports(
+    out_dir: str,
+    zip_name: str = "exports_bundle.zip",
+    include_names: list[str] | None = None,
+) -> dict:
+    """K4 zip bundler: one download-style .zip of the PUBLISHED export
+    artifacts under ``out_dir`` (reference: the export flow ends by
+    zipping the whole export dir atomically —
+    /root/reference/src/flows/exports/canonical_data.py:273-295 tmp-zip
+    + os.replace, self-skip; plus the standalone bundler
+    /root/reference/src/scripts/zip_exports.py:46-50).
+
+    Engine specifics: only the published artifact names are walked
+    (symlinks resolve to the live artifact — ``.artifacts`` internals,
+    stage dirs, and superseded generations never leak into the bundle),
+    entries are sorted and timestamps pinned, so the bundle is
+    BYTE-REPRODUCIBLE for identical artifact content (same trick as
+    tools/make_pyfiles.py); the write is atomic (tmp + rename) and the
+    bundle skips itself.  This is a driver-side consumer convenience —
+    O(artifact bytes), never a Spark job."""
+    import zipfile
+
+    fixed = (1980, 1, 1, 0, 0, 0)
+    names = include_names or sorted(
+        n
+        for n in os.listdir(out_dir)
+        if not n.startswith(".") and n != zip_name and n != f"{zip_name}.tmp"
+        and os.path.isdir(os.path.join(out_dir, n))
+    )
+    zip_path = os.path.join(out_dir, zip_name)
+    tmp = zip_path + ".tmp"
+    n_files, total = 0, 0
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED, compresslevel=9) as zf:
+            for name in names:
+                base = os.path.join(out_dir, name)
+                for root, dirs, files in os.walk(base, followlinks=True):
+                    dirs.sort()
+                    for fn in sorted(files):
+                        if fn.startswith("."):  # hadoop .crc noise
+                            continue
+                        fpath = os.path.join(root, fn)
+                        arc = os.path.join(name, os.path.relpath(fpath, base))
+                        info = zipfile.ZipInfo(
+                            arc.replace(os.sep, "/"), date_time=fixed
+                        )
+                        info.compress_type = zipfile.ZIP_DEFLATED
+                        info.external_attr = 0o644 << 16
+                        with open(fpath, "rb") as fh:
+                            data = fh.read()
+                        zf.writestr(info, data)
+                        n_files += 1
+                        total += len(data)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    os.replace(tmp, zip_path)
+    return {
+        "path": zip_path,
+        "names": names,
+        "n_files": n_files,
+        "bytes_in": total,
+        "bytes_zip": os.path.getsize(zip_path),
+    }
+
+
 def read_export(spark: SparkSession, out_dir: str, name: str, fmt: str = "parquet") -> DataFrame:
     path = os.path.join(out_dir, name, fmt)
     return spark.read.parquet(path) if fmt == "parquet" else spark.read.json(path)

@@ -229,3 +229,54 @@ def test_change_export_cursor_survives_lost_cursor_link(spark, tmp_table_dir):
     assert d2["from_version"] == d1["to_version"]  # no overlap
     assert d1["n_rows"] + d2["n_rows"] == pipe.change_log.read(spark).count()
     assert len(list_change_exports(out, "changes")) == 2
+
+
+def test_bundle_exports_zip(spark, tmp_table_dir):
+    """K4 zip bundler: one atomic .zip of the published artifacts —
+    symlinks resolve to live content, .artifacts internals never leak,
+    the bundle skips itself, members read back byte-equal, and a
+    rebuild over unchanged artifacts is BYTE-IDENTICAL (pinned
+    timestamps + sorted entries)."""
+    import hashlib
+    import os
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc import schema as S
+    from horizon_etl_spark.cdc.generator import change_feed
+    from horizon_etl_spark.cdc.lww import lww_reduce
+    from horizon_etl_spark.exports import bundle_exports, export_table
+    from horizon_etl_spark.tables.lake import LakeTable
+
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), S.TARGET_SCHEMA, key_col="doc_id", bucket_count=4
+    )
+    feed = change_feed(spark, 1500, 100, seed=11, num_batches=1, max_len=8)
+    t.merge(lww_reduce(feed.drop("batch", "ts")))
+    out = os.path.join(tmp_table_dir, "exports")
+    export_table(spark, t, out, "target", formats=("parquet", "json"))
+
+    b1 = bundle_exports(out)
+    assert b1["names"] == ["target"] and b1["n_files"] > 0
+    with zipfile.ZipFile(b1["path"]) as zf:
+        members = zf.namelist()
+        assert any(m.startswith("target/parquet/") for m in members)
+        assert all(".artifacts" not in m for m in members)
+        assert "exports_bundle.zip" not in members
+        # spot-check byte equality through the symlink
+        probe = next(m for m in members if m.endswith("manifest.json"))
+        on_disk = open(os.path.join(out, probe), "rb").read()
+        assert zf.read(probe) == on_disk
+
+    h1 = hashlib.sha256(open(b1["path"], "rb").read()).hexdigest()
+    b2 = bundle_exports(out)
+    h2 = hashlib.sha256(open(b2["path"], "rb").read()).hexdigest()
+    assert h1 == h2  # byte-reproducible rebuild
+
+    # a second artifact generation changes the bundle
+    t.merge(lww_reduce(feed.drop("batch", "ts").withColumn("lsn", F.col("lsn") + 10_000)))
+    export_table(spark, t, out, "target", formats=("parquet",))
+    b3 = bundle_exports(out)
+    h3 = hashlib.sha256(open(b3["path"], "rb").read()).hexdigest()
+    assert h3 != h1

@@ -120,6 +120,18 @@ def test_job_export_time_travel_version(spark, tmp_table_dir, capsys):
          "--version", str(v_old), "--filtered-by", "source"]
     ) == 2
 
+    # --bundle finishes with the K4 zip of everything published so far
+    assert job_export.main(
+        ["--pipeline-root", root, "--out", out_dir, "--name", "asof",
+         "--version", str(v_old), "--bundle"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["bundle"]["n_files"] > 0 and os.path.exists(res["bundle"]["path"])
+    import zipfile
+
+    with zipfile.ZipFile(res["bundle"]["path"]) as zf:
+        assert any(m.startswith("asof/") for m in zf.namelist())
+
 
 def test_job_replicate_entrypoint(spark, tmp_table_dir, capsys):
     """job_replicate creates the replica on first run and converges it

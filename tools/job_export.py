@@ -58,6 +58,13 @@ def parse_args(argv):
         "appended since the previous run's cursor (O(new changes), not "
         "O(table)) instead of a full target export",
     )
+    ap.add_argument(
+        "--bundle",
+        action="store_true",
+        help="finish by zipping the published artifacts into one atomic "
+        "download bundle (exports_bundle.zip; K4, reference "
+        "zip_exports_task)",
+    )
     return ap.parse_args(argv)
 
 
@@ -147,6 +154,9 @@ def main(argv=None) -> int:
             scrub=scrub,
         )
         out["filtered_views"] = {str(k): v["n_rows"] for k, v in sorted(views.items())}
+    if args.bundle:
+        b = exports.bundle_exports(args.out)
+        out["bundle"] = {"path": b["path"], "n_files": b["n_files"], "bytes_zip": b["bytes_zip"]}
     print(json.dumps(out))
     return 0
 

@@ -119,6 +119,7 @@ def apply_batch(
     with_rollup: bool = False,
     persist_source: bool = False,
     whitelist: tuple[str, ...] | None = None,
+    vocab_size: int | None = None,
 ) -> dict[str, Any]:
     """Apply one micro-batch of change events; returns the run stats row.
 
@@ -169,7 +170,9 @@ def apply_batch(
     # `winners` / the target — never the raw feed again.
     obs = Observation(f"apply_batch_{batch_id}")
     reason = _reason(
-        "fields" if attr_mode and "fields" in batch.columns else None, whitelist
+        "fields" if attr_mode and "fields" in batch.columns else None,
+        whitelist,
+        vocab_size,
     )
     tagged = batch.withColumn("_reason", reason).observe(
         obs,
@@ -367,11 +370,17 @@ def _write_quarantine(
     )
 
 
-def _reason(fields_col: str | None = None, whitelist: tuple[str, ...] | None = None):
+def _reason(
+    fields_col: str | None = None,
+    whitelist: tuple[str, ...] | None = None,
+    vocab_size: int | None = None,
+):
     from horizon_etl_spark.cdc.validate import SOURCE_WHITELIST_DEFAULT, reason_column
 
     return reason_column(
-        whitelist=whitelist or SOURCE_WHITELIST_DEFAULT, fields_col=fields_col
+        whitelist=whitelist or SOURCE_WHITELIST_DEFAULT,
+        fields_col=fields_col,
+        vocab_size=vocab_size,
     )
 
 

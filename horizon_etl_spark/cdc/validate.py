@@ -21,14 +21,22 @@ SOURCE_WHITELIST_DEFAULT = SOURCE_WHITELIST
 
 
 def _rules(
-    whitelist: tuple[str, ...], fields_col: str | None = None
+    whitelist: tuple[str, ...],
+    fields_col: str | None = None,
+    vocab_size: int | None = None,
 ) -> list[tuple[str, Column]]:
     """Ordered (reason, violation-predicate) pairs; first hit wins.
 
     With ``fields_col`` (per-attribute feeds), the payload-content
     rules only apply when the event actually ASSERTS the column —
     a partial update that doesn't carry tokens is not an
-    empty-tokens violation."""
+    empty-tokens violation.
+
+    ``vocab_size`` (opt-in) adds the token-range invariant from SURVEY
+    §2.10: every token id must sit in ``[0, vocab_size)``.  SURVEY
+    sketched this as a pandas UDF; ``F.exists`` with a scalar lambda is
+    the better answer — it stays inside whole-stage codegen with
+    short-circuit evaluation, no Arrow round trip per batch."""
     is_del = F.col("op") == "delete"
 
     def asserts(c: str) -> Column:
@@ -36,7 +44,7 @@ def _rules(
             return F.lit(True)
         return F.col(fields_col).isNull() | F.array_contains(F.col(fields_col), c)
 
-    return [
+    rules = [
         ("null_doc_id", F.col("doc_id").isNull() | (F.length("doc_id") == 0)),
         ("null_lsn", F.col("lsn").isNull()),
         ("bad_op", ~F.col("op").isin(*VALID_OPS) | F.col("op").isNull()),
@@ -44,14 +52,29 @@ def _rules(
         ("n_tok_mismatch", ~is_del & asserts("tokens") & asserts("n_tok") & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))),
         ("bad_source", ~is_del & asserts("source") & ~F.col("source").isin(*whitelist)),
     ]
+    if vocab_size is not None:
+        hi = int(vocab_size)
+        rules.append(
+            (
+                "token_out_of_vocab",
+                ~is_del
+                & asserts("tokens")
+                & F.exists(
+                    "tokens", lambda x: x.isNull() | (x < 0) | (x >= F.lit(hi))
+                ),
+            )
+        )
+    return rules
 
 
 def reason_column(
-    whitelist: tuple[str, ...] = SOURCE_WHITELIST, fields_col: str | None = None
+    whitelist: tuple[str, ...] = SOURCE_WHITELIST,
+    fields_col: str | None = None,
+    vocab_size: int | None = None,
 ) -> Column:
     """NULL when the row is valid, else the first violated rule name."""
     expr = F.lit(None).cast("string")
-    for name, pred in reversed(_rules(whitelist, fields_col)):
+    for name, pred in reversed(_rules(whitelist, fields_col, vocab_size)):
         expr = F.when(pred, F.lit(name)).otherwise(expr)
     return expr
 
@@ -60,13 +83,14 @@ def split_valid(
     df: DataFrame,
     whitelist: tuple[str, ...] = SOURCE_WHITELIST,
     fields_col: str | None = None,
+    vocab_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return (valid, quarantined-with-reason).
 
     The reason column is computed once; the two outputs are the two
     sides of the same filter so Catalyst can reuse the scan.
     """
-    tagged = df.withColumn("reason", reason_column(whitelist, fields_col))
+    tagged = df.withColumn("reason", reason_column(whitelist, fields_col, vocab_size))
     valid = tagged.filter(F.col("reason").isNull()).drop("reason")
     quarantined = tagged.filter(F.col("reason").isNotNull())
     return valid, quarantined

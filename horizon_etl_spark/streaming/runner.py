@@ -36,6 +36,7 @@ def run_stream(
     feed_format: str = "parquet",
     feed_schema=None,
     batch_hook=None,
+    vocab_size: int | None = None,
 ):
     """Start (and by default drain) a file-source stream over change-event
     files dropped into ``input_dir`` (``feed_format``: parquet for
@@ -137,6 +138,7 @@ def run_stream(
             collect_metrics=collect_metrics,
             with_rollup=with_rollup,
             persist_source=persist_source,
+            vocab_size=vocab_size,
         )
 
     writer = (

@@ -129,3 +129,37 @@ def test_auto_salting_plan_detector_fires_on_batch_zero(spark, tmp_path):
         final = pipe.target.read(spark)
         assert final.exceptAll(oracle).count() == 0
         assert oracle.exceptAll(final).count() == 0
+
+
+def test_vocab_range_validation(spark):
+    """SURVEY §2.10 token-range invariant, opt-in: token ids outside
+    [0, vocab) quarantine with reason token_out_of_vocab; deletes and
+    attr events not asserting tokens are exempt; default (vocab off)
+    behavior is unchanged."""
+    from horizon_etl_spark.cdc.validate import split_valid
+
+    rows = [
+        ("insert", "d1", 1, [1, 2, 3], 3, "wiki", None),           # ok
+        ("insert", "d2", 2, [1, 50_000], 2, "wiki", None),         # out of range
+        ("insert", "d3", 3, [-1, 2], 2, "wiki", None),             # negative
+        ("delete", "d2", 4, None, None, None, None),               # delete exempt
+        ("update", "d1", 5, [99_999], 1, "wiki", ["source"]),      # not asserted
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "op string, doc_id string, lsn long, tokens array<int>, "
+        "n_tok int, source string, fields array<string>",
+    )
+    valid, quar = split_valid(df, fields_col="fields", vocab_size=10_000)
+    assert {r["doc_id"] for r in valid.collect()} == {"d1", "d2"}  # d1 ins, d2 del, d1 upd
+    assert valid.count() == 3
+    bad = {(r["doc_id"], r["reason"]) for r in quar.collect()}
+    assert bad == {("d2", "token_out_of_vocab"), ("d3", "token_out_of_vocab")}
+
+    # plan stays JVM-side: no Python/Arrow eval nodes for the rule
+    plan = valid._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # default (no vocab): out-of-range rows are NOT quarantined
+    valid2, quar2 = split_valid(df, fields_col="fields")
+    assert quar2.count() == 0 and valid2.count() == 5

@@ -49,6 +49,13 @@ def parse_args(argv):
         help="hot-key salting for the LWW reduction (auto = advisory-triggered)",
     )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument(
+        "--vocab-size",
+        type=int,
+        default=None,
+        help="opt-in token-range invariant: quarantine events carrying "
+        "token ids outside [0, vocab) (reason token_out_of_vocab)",
+    )
     ap.add_argument("--bootstrap-snapshot", default=None)
     ap.add_argument("--bootstrap-lsn", type=int, default=None)
     return ap.parse_args(argv)
@@ -106,6 +113,7 @@ def main(argv=None) -> int:
         salted_lww=salted,
         with_rollup=args.with_rollup,
         feed_format=args.feed_format,
+        vocab_size=args.vocab_size,
     )
 
     from pyspark.sql import functions as F

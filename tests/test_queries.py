@@ -30,6 +30,7 @@ SUBSET = [
     "exact_dedup_docs",
     "ngram_jaccard_pairs",
     "knn_bruteforce",
+    "knn_lsh_recall",
     "binary_meta",
     "cdc_apply_events",
 ]

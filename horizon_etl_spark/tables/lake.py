@@ -81,19 +81,32 @@ class FileEntry:
     rows: int
     min_key: str | None
     max_key: str | None
+    # Optional key-bloom sidecar: {"ref": <path relative to table root>,
+    # "m": <bits>, "k": <hash count>} — see the key-bloom block below.
+    bloom: dict[str, Any] | None = None
 
     def to_json(self) -> dict[str, Any]:
-        return {
+        d = {
             "path": self.path,
             "bucket": self.bucket,
             "rows": self.rows,
             "min_key": self.min_key,
             "max_key": self.max_key,
         }
+        if self.bloom:
+            d["bloom"] = self.bloom
+        return d
 
     @classmethod
     def from_json(cls, d: dict[str, Any]) -> "FileEntry":
-        return cls(d["path"], d["bucket"], d["rows"], d.get("min_key"), d.get("max_key"))
+        return cls(
+            d["path"],
+            d["bucket"],
+            d["rows"],
+            d.get("min_key"),
+            d.get("max_key"),
+            d.get("bloom"),
+        )
 
 
 def bucket_expr(key_col: str, bucket_count: int):
@@ -119,6 +132,89 @@ def recommended_bucket_count(
 
     need = max(1, -(-max(0, total_rows) // target_rows_per_bucket))
     return min(16384, max(4, 1 << math.ceil(math.log2(need))))
+
+
+# --------------------------------------------------------------- key blooms
+# Per-file key Bloom filters extend carry/rewrite pruning beyond the
+# min/max range test: a CDC trickle of POINT keys spread across the key
+# range defeats range pruning (every file's range overlaps the batch's
+# range), but a Bloom membership probe still proves most files key-free
+# and carries them.  Design mirrors Iceberg's puffin sidecars: the
+# filter is built once at bulk-write time (compact / rebucket /
+# bootstrap-overwrite, opt-in per table via the ``key_bloom`` prop),
+# stored as a sidecar under _meta/blooms/, and probed at merge time
+# inside the SAME one-pass per-bucket aggregate the range pruner
+# already runs — zero extra Spark actions on the hot path.
+#
+# Hash scheme: classic double hashing pos_i = (h1 + i*h2) mod m with
+# h1/h2 both computed BY SPARK (xxhash64) on the build and probe sides,
+# so Python never re-implements the hash.  Both sides reduce h1/h2 mod
+# m BEFORE the multiply-add (mathematically identical, and the partial
+# sums then fit in int64 — Spark 4's ANSI mode would throw on a raw
+# h1 + i*h2 long overflow); numpy's % with a positive divisor matches
+# Spark's pmod, verified by the round-trip property test.
+BLOOM_BITS_PER_KEY = 12
+BLOOM_K = 6  # FPR ~0.4% at 12 bits/key
+BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap per file (FPR degrades, stays safe)
+BLOOM_PROP = "key_bloom"
+
+
+def _bloom_hash_exprs(key_col: str) -> tuple[Column, Column]:
+    """(h1, h2) bigint hash columns for the double-hashing scheme —
+    identical expressions on the build and probe paths."""
+    return (
+        F.xxhash64(F.col(key_col)),
+        F.xxhash64(F.lit("bloom#2"), F.col(key_col)),
+    )
+
+
+def _bloom_build_pdf(pdf):
+    """Grouped-map kernel: one file's (h1, h2) rows -> one bloom row.
+    Arrow-batched; numpy bit ops only (no per-row Python)."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    m = min(BLOOM_MAX_BITS, max(256, ((n * BLOOM_BITS_PER_KEY + 63) // 64) * 64))
+    words = np.zeros(m // 64, dtype=np.uint64)
+    # reduce mod m first: partial sums stay < 6m ≤ 3*2^24, no overflow;
+    # numpy % with a positive divisor is non-negative = Spark pmod
+    h1 = pdf["_h1"].to_numpy(dtype=np.int64) % np.int64(m)
+    h2 = pdf["_h2"].to_numpy(dtype=np.int64) % np.int64(m)
+    for i in range(BLOOM_K):
+        pos = (h1 + np.int64(i) * h2) % np.int64(m)
+        np.bitwise_or.at(
+            words, pos >> 6, np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64))
+        )
+    return pd.DataFrame(
+        {
+            "_file": [pdf["_file"].iloc[0]],
+            "m": [m],
+            "k": [BLOOM_K],
+            "words": [words.view(np.int64).tolist()],
+        }
+    )
+
+
+# Bloom sidecar files are immutable once written — cache decoded word
+# arrays per absolute path so repeated merges against the same snapshot
+# don't re-read them.
+_BLOOM_CACHE: dict[str, list[int]] = {}
+
+
+def _load_bloom_words(abs_path: str) -> list[int] | None:
+    cached = _BLOOM_CACHE.get(abs_path)
+    if cached is not None:
+        return cached
+    try:
+        import numpy as np
+
+        with open(abs_path, "rb") as fh:
+            words = np.frombuffer(fh.read(), dtype="<i8").tolist()
+    except OSError:
+        return None  # missing sidecar degrades to range-only pruning
+    _BLOOM_CACHE[abs_path] = words
+    return words
 
 
 def _footer_stats(path: str, key: str | None) -> tuple[int, str | None, str | None]:
@@ -575,13 +671,16 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _write_data(
-        self, df: DataFrame, version: int, bucketed: bool
+        self, df: DataFrame, version: int, bucketed: bool, with_blooms: bool = False
     ) -> list[FileEntry]:
         """Write df to a fresh commit directory; return file entries.
 
         When ``bucketed``, df must carry BUCKET_COL; output is
         partitioned by it so each file belongs to exactly one bucket,
         and per-file row counts + min/max key are collected for pruning.
+        With ``with_blooms`` a per-file key Bloom sidecar is also built
+        (one column-pruned read-back job over the just-written files —
+        only callers on the bulk/opt-in paths pass it).
         """
         rel_dir = os.path.join("data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
@@ -620,6 +719,10 @@ class LakeTable:
                         entries.append(
                             FileEntry(os.path.join(rel_dir, sub, fn), b, rows, mn, mx)
                         )
+            if with_blooms and entries:
+                blooms = self._build_blooms(df.sparkSession, out_dir, key, version)
+                for e in entries:
+                    e.bloom = blooms.get("/".join(e.path.split(os.sep)[-2:]))
             return entries
         df.write.mode("error").parquet(out_dir)
         entries = []
@@ -629,29 +732,147 @@ class LakeTable:
                 entries.append(FileEntry(os.path.join(rel_dir, fn), -1, rows, None, None))
         return entries
 
+    def _build_blooms(
+        self, spark: SparkSession, out_dir: str, key: str, version: int
+    ) -> dict[str, dict[str, Any]]:
+        """Build one key-Bloom sidecar per just-written data file.
+
+        One extra Spark job whose input is ONLY the key column of the
+        new files (column-pruned scan, grouped by ``input_file_name``,
+        numpy bit-set kernel per file via applyInPandas) — distributed
+        and O(written rows), never a driver-side data decode.  Returns
+        {"<bucket dir>/<basename>": bloom descriptor} — a dynamic
+        partition write reuses the SAME part-file basename in every
+        bucket directory, so the basename alone is ambiguous."""
+        import numpy as np
+
+        h1, h2 = _bloom_hash_exprs(key)
+        per = (
+            spark.read.option("basePath", out_dir)
+            .parquet(out_dir)
+            .select(F.input_file_name().alias("_file"), h1.alias("_h1"), h2.alias("_h2"))
+        )
+        rows = (
+            per.groupBy("_file")
+            .applyInPandas(
+                _bloom_build_pdf, schema="_file string, m long, k int, words array<long>"
+            )
+            .collect()
+        )
+        blooms_dir = os.path.join(self.path, "_meta", "blooms")
+        os.makedirs(blooms_dir, exist_ok=True)
+        out: dict[str, dict[str, Any]] = {}
+        for r in rows:
+            ref = os.path.join(
+                "_meta", "blooms", f"v{version:08d}-{uuid.uuid4().hex[:8]}.bloom"
+            )
+            with open(os.path.join(self.path, ref), "wb") as fh:
+                fh.write(np.array(r["words"], dtype="<i8").tobytes())
+            parts = r["_file"].rstrip("/").split("/")
+            out["/".join(parts[-2:])] = {
+                "ref": ref,
+                "m": int(r["m"]),
+                "k": int(r["k"]),
+            }
+        return out
+
+    def _bloom_enabled(self, snap: dict[str, Any]) -> bool:
+        """Key blooms are an opt-in table prop (``key_bloom: "true"``) —
+        point-key CDC tables turn it on; range-local feeds don't need
+        it and skip the build job."""
+        return str(snap.get("props", {}).get(BLOOM_PROP, "")).lower() in ("true", "1")
+
     # ------------------------------------------------- shared merge plumbing
     def _prune_for_batch(
         self, src: DataFrame, snap: dict[str, Any]
     ) -> tuple[list[FileEntry], list[FileEntry]]:
-        """Bucket + min/max-key file pruning for a bucketed batch
-        (driver-side over O(buckets) rows): files whose bucket/key
-        range can contain batch keys are rewritten, the rest carry."""
-        touched = (
-            src.groupBy(BUCKET_COL)
-            .agg(F.min(self.key_col).alias("mn"), F.max(self.key_col).alias("mx"))
-            .collect()
-        )
-        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
+        """Bucket + min/max-key (+ optional key-Bloom) file pruning for
+        a bucketed batch, decided driver-side over O(buckets) rows:
+        files whose bucket/key range can contain batch keys are
+        rewritten, the rest carry.  Files carrying a Bloom sidecar are
+        additionally membership-probed — the probes ride the SAME
+        single aggregation as the range stats (batch ⋈ broadcast
+        bloom-meta, unrolled ``bit_get`` tests, ``collect_set`` of hit
+        file ids per bucket), so a point-key trickle against a
+        compacted table carries every file the batch provably misses
+        at no extra Spark action.  Both tests are free of false
+        negatives (range: disjoint intervals share no key; bloom: every
+        inserted key sets all its probe bits), so intersecting them is
+        sound and prunes strictly more than either alone."""
+        key = self.key_col
         all_files = [FileEntry.from_json(f) for f in snap["files"]]
+        # files with a loadable, k-compatible sidecar get membership
+        # probes; anything else (pre-bloom files, missing sidecar,
+        # foreign k) degrades to the range-only test
+        bloomed: list[tuple[int, FileEntry, list[int]]] = []
+        for idx, f in enumerate(all_files):
+            bl = f.bloom
+            if not bl or int(bl.get("k", -1)) != BLOOM_K:
+                continue
+            words = _load_bloom_words(os.path.join(self.path, bl["ref"]))
+            if words is not None and len(words) * 64 == int(bl["m"]):
+                bloomed.append((idx, f, words))
+
+        hit_fids: dict[int, set[int]] = {}
+        if not bloomed:
+            touched = (
+                src.groupBy(BUCKET_COL)
+                .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
+                .collect()
+            )
+        else:
+            spark = src.sparkSession
+            fm = spark.createDataFrame(
+                [(f.bucket, idx, int(f.bloom["m"]), words) for idx, f, words in bloomed],
+                schema=f"{BUCKET_COL} int, _fid int, _m long, _words array<bigint>",
+            )
+            h1, h2 = _bloom_hash_exprs(key)
+            probe = (
+                src.select(
+                    F.col(BUCKET_COL), F.col(key), h1.alias("_h1"), h2.alias("_h2")
+                )
+                .join(F.broadcast(fm), BUCKET_COL, "left")
+                # reduce mod m before the multiply-add (same scheme as
+                # the build kernel; keeps ANSI-mode int64 arithmetic
+                # overflow-free)
+                .withColumns(
+                    {
+                        "_h1m": F.pmod(F.col("_h1"), F.col("_m")),
+                        "_h2m": F.pmod(F.col("_h2"), F.col("_m")),
+                    }
+                )
+            )
+            hit = F.lit(True)
+            for i in range(BLOOM_K):
+                pos = F.pmod(F.col("_h1m") + F.lit(i) * F.col("_h2m"), F.col("_m"))
+                word = F.element_at(
+                    F.col("_words"), (F.shiftright(pos, 6) + 1).cast("int")
+                )
+                hit = hit & (F.bit_get(word, pos.bitwiseAND(F.lit(63))) == 1)
+            touched = (
+                probe.groupBy(BUCKET_COL)
+                .agg(
+                    F.min(key).alias("mn"),
+                    F.max(key).alias("mx"),
+                    F.collect_set(F.when(hit, F.col("_fid"))).alias("hits"),
+                )
+                .collect()
+            )
+            hit_fids = {r[BUCKET_COL]: set(r["hits"]) for r in touched}
+
+        touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
+        bloom_ok = {idx for idx, _, _ in bloomed}
         rewrite_files: list[FileEntry] = []
         carry_files: list[FileEntry] = []
-        for f in all_files:
+        for idx, f in enumerate(all_files):
             rng = touched_range.get(f.bucket)
             overlaps = rng is not None and not (
                 f.max_key is not None
                 and f.min_key is not None
                 and (f.max_key < rng[0] or f.min_key > rng[1])
             )
+            if overlaps and idx in bloom_ok:
+                overlaps = idx in hit_fids.get(f.bucket, set())
             (rewrite_files if overlaps else carry_files).append(f)
         return rewrite_files, carry_files
 
@@ -818,7 +1039,10 @@ class LakeTable:
         version = snap["version"] + 1
         ordered = [key, LSN_COL, TOMBSTONE_COL] + [c for c in data_cols if c != key]
         new_files = self._write_data(
-            merged.select(BUCKET_COL, *ordered), version, bucketed=True
+            merged.select(BUCKET_COL, *ordered),
+            version,
+            bucketed=True,
+            with_blooms=self._bloom_enabled(snap),
         )
 
         files = carry_files + new_files
@@ -1121,7 +1345,10 @@ class LakeTable:
             + [alsn_col(c) for c in payload_cols]
         )
         new_files = self._write_data(
-            merged.select(BUCKET_COL, *ordered), version, bucketed=True
+            merged.select(BUCKET_COL, *ordered),
+            version,
+            bucketed=True,
+            with_blooms=self._bloom_enabled(snap),
         )
         files = carry_files + new_files
 
@@ -1291,7 +1518,12 @@ class LakeTable:
         if key is not None:
             df = df.withColumn(BUCKET_COL, bucket_expr(key, snap["bucket_count"]))
             ordered = [f.name for f in schema.fields]
-            new_files = self._write_data(df.select(BUCKET_COL, *ordered), version, bucketed=True)
+            new_files = self._write_data(
+            df.select(BUCKET_COL, *ordered),
+            version,
+            bucketed=True,
+            with_blooms=self._bloom_enabled(snap),
+        )
         else:
             new_files = self._write_data(df.select([f.name for f in schema.fields]), version, bucketed=False)
         self._commit(
@@ -1425,7 +1657,12 @@ class LakeTable:
         )
         version = snap["version"] + 1
         ordered = [f.name for f in schema.fields]
-        new_files = self._write_data(df.select(BUCKET_COL, *ordered), version, bucketed=True)
+        new_files = self._write_data(
+            df.select(BUCKET_COL, *ordered),
+            version,
+            bucketed=True,
+            with_blooms=self._bloom_enabled(snap),
+        )
         self._commit(
             version,
             {
@@ -1478,7 +1715,12 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         version = snap["version"] + 1
         ordered = [f.name for f in schema.fields]
-        new_files = self._write_data(df.select(BUCKET_COL, *ordered), version, bucketed=True)
+        new_files = self._write_data(
+            df.select(BUCKET_COL, *ordered),
+            version,
+            bucketed=True,
+            with_blooms=self._bloom_enabled(snap),
+        )
         self._commit(
             version,
             {

@@ -1,0 +1,164 @@
+"""Per-file key-Bloom pruning: build/probe round trip, no false
+negatives (the correctness-critical property — a false negative would
+carry a file whose key the merge rewrites elsewhere, duplicating the
+row), point-key pruning wins over the range test, and graceful
+degradation when a sidecar is missing."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from horizon_etl_spark.tables.lake import (
+    BLOOM_PROP,
+    BUCKET_COL,
+    FileEntry,
+    LakeTable,
+    bucket_expr,
+)
+
+SCHEMA = StructType(
+    [StructField("k", StringType(), False), StructField("v", LongType(), True)]
+)
+
+
+def _mk_table(tmp_table_dir, name, bloom=True, buckets=4):
+    return LakeTable.create(
+        os.path.join(tmp_table_dir, name),
+        SCHEMA,
+        key_col="k",
+        bucket_count=buckets,
+        props={BLOOM_PROP: "true"} if bloom else None,
+    )
+
+
+def _batch(spark, lo, hi, lsn, op="upsert"):
+    return spark.range(lo, hi).select(
+        F.format_string("k%06d", F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+        F.lit(op).alias("op"),
+        F.lit(lsn).cast("long").alias("lsn"),
+    )
+
+
+def _files(t):
+    return [FileEntry.from_json(f) for f in t.snapshot()["files"]]
+
+
+def _keys_in_file(t, entry):
+    return set(
+        pq.read_table(os.path.join(t.path, entry.path), columns=["k"])["k"].to_pylist()
+    )
+
+
+def _prune(t, batch):
+    snap = t.snapshot()
+    src = batch.withColumn(BUCKET_COL, bucket_expr("k", snap["bucket_count"]))
+    return t._prune_for_batch(src, snap)
+
+
+def test_bulk_writes_build_bloom_sidecars(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 500, 1))
+    files = _files(t)
+    assert files and all(f.bloom for f in files)
+    for f in files:
+        ref = os.path.join(t.path, f.bloom["ref"])
+        assert os.path.getsize(ref) * 8 == f.bloom["m"]
+        # sized ~BITS_PER_KEY per row, rounded to whole words
+        assert f.bloom["m"] >= f.rows and f.bloom["m"] % 64 == 0
+
+
+def test_no_false_negatives_every_contained_key_hits(spark, tmp_table_dir):
+    """The load-bearing property: for EVERY key present in a bloomed
+    file, a batch containing that key must select the file for rewrite
+    (range + bloom intersection can never drop a true match)."""
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 400, 1))
+    t.merge(_batch(spark, 400, 800, 2))
+    truth = {f.path: _keys_in_file(t, f) for f in _files(t)}
+    # one batch containing ALL keys: every file must be rewritten
+    rw, carry = _prune(t, _batch(spark, 0, 800, 3))
+    assert carry == [] and {f.path for f in rw} == set(truth)
+    # spot batches of single point keys across the range
+    for kid in (0, 399, 400, 799, 123, 677):
+        b = _batch(spark, kid, kid + 1, 3)
+        rw, _ = _prune(t, b)
+        key = f"k{kid:06d}"
+        holders = {p for p, ks in truth.items() if key in ks}
+        assert holders <= {f.path for f in rw}, f"bloom false negative for {key}"
+
+
+def test_point_key_trickle_prunes_more_than_range(spark, tmp_table_dir):
+    """Two commits with INTERLEAVED key ranges per bucket: the range
+    test alone must rewrite both commits' files in a touched bucket,
+    the bloom probe rewrites only the file(s) actually holding the
+    key."""
+    bloom_t = _mk_table(tmp_table_dir, "b", bloom=True)
+    plain_t = _mk_table(tmp_table_dir, "p", bloom=False)
+    trickle = _batch(spark, 0, 1000, 2).filter(F.col("v").isin(101, 103, 105, 107, 109))
+    for t in (bloom_t, plain_t):
+        # bulk load of the even keys, then a 5-key odd trickle: the odd
+        # keys INTERLEAVE with every file's [min,max] range, so range
+        # pruning must rewrite the touched buckets' files while the
+        # bloom probes prove the keys absent and carry everything
+        t.merge(_batch(spark, 0, 1000, 1).filter(F.col("v") % 2 == 0))
+        t.merge(trickle)
+    assert plain_t.snapshot()["summary"]["rewritten_files"] > 0
+    assert bloom_t.snapshot()["summary"]["rewritten_files"] == 0
+    assert len(_files(bloom_t)) > len(_files(plain_t))
+    # a single point update touches only the one file holding the key
+    point = _batch(spark, 100, 101, 3)  # an even key
+    rw_bloom, carry_bloom = _prune(bloom_t, point)
+    assert len(rw_bloom) == 1
+    assert "k000100" in _keys_in_file(bloom_t, rw_bloom[0])
+    assert len(carry_bloom) == len(_files(bloom_t)) - 1
+
+
+def test_merge_converges_with_blooms_enabled(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 300, 1))
+    t.merge(_batch(spark, 100, 120, 5))  # point updates
+    t.merge(_batch(spark, 110, 115, 3))  # stale replay, must no-op
+    t.merge(_batch(spark, 150, 152, 6, op="delete"))
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 298
+    assert rows["k000100"] == 100 and "k000150" not in rows
+    # trickle merges against the bloomed base stayed narrow
+    assert t.snapshot()["summary"]["rewritten_files"] <= 2
+
+
+def test_missing_sidecar_degrades_to_range_pruning(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 300, 1))
+    for f in _files(t):
+        os.remove(os.path.join(t.path, f.bloom["ref"]))
+    # probes silently fall back to the range test — still correct
+    rw, carry = _prune(t, _batch(spark, 10, 11, 2))
+    assert len(rw) == 1  # the key's bucket file, via range overlap
+    t.merge(_batch(spark, 10, 11, 2))
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()}["k000010"] == 10
+
+
+def test_overwrite_and_compact_build_blooms_and_attr_path(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "a"),
+        SCHEMA,
+        key_col="k",
+        bucket_count=4,
+        props={BLOOM_PROP: "true"},
+        attr_lww=True,
+    )
+    ev = _batch(spark, 0, 200, 1).select(
+        "k", "v", F.lit(1).cast("long").alias("_alsn_v"), F.lit(None).cast("long").alias("_del_lsn")
+    )
+    t.merge_attrs(ev)
+    assert all(f.bloom for f in _files(t))
+    # point attr update prunes by bloom too
+    up = _batch(spark, 50, 51, 2).select(
+        "k", "v", F.lit(2).cast("long").alias("_alsn_v"), F.lit(None).cast("long").alias("_del_lsn")
+    )
+    rw, _ = _prune(t, up)
+    assert len(rw) == 1

@@ -337,6 +337,88 @@ def run_replica_bench(spark, num_events: int, num_keys: int, deltas: int = 6) ->
     return stats
 
 
+def run_bloom_bench(
+    spark, num_keys: int, strata: int = 8, trickle_keys: int = 64
+) -> dict:
+    """Key-Bloom file pruning vs the range-only pruner, on the workload
+    range pruning cannot help: POINT-key updates.  The same key
+    population loads into two tables in ``strata`` interleaved commits
+    (stratum s holds keys k ≡ s mod strata, so every file's [min,max]
+    spans the whole key range — the range test's worst case), then a
+    small random-point-key batch updates each.  The range table absorbs
+    every sibling file on every load step (copy-on-write rewrite
+    amplification) and must rewrite each touched bucket's whole file on
+    the trickle; the bloomed table carries files the batch provably
+    misses, so rewritten rows track the keys actually hit.  The
+    many-small-files layout the bloom table keeps is the layout
+    compact_buckets() bounds at scale."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc import schema as S
+    from horizon_etl_spark.tables.lake import BLOOM_PROP, LakeTable
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "bloom")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    buckets = max(16, cpus)
+
+    def events(ids, lsn):
+        return ids.select(
+            F.format_string("doc-%08d", F.col("id")).alias("doc_id"),
+            F.sequence(F.lit(1), F.lit(64)).alias("tokens"),
+            F.lit(64).alias("n_tok"),
+            F.lit("bench").alias("source"),
+            F.lit("upsert").alias("op"),
+            F.lit(lsn).cast("long").alias("lsn"),
+        )
+
+    def rewritten_rows(t, prev_version):
+        prev = {f["path"]: f["rows"] for f in t.snapshot(prev_version)["files"]}
+        cur = {f["path"] for f in t.snapshot()["files"]}
+        return sum(r for p, r in prev.items() if p not in cur)
+
+    out: dict = {"keys": num_keys, "strata": strata, "trickle_keys": trickle_keys}
+    pop = spark.range(num_keys)
+    # deterministic pseudo-random point keys for the trickle
+    trickle_ids = (
+        spark.range(trickle_keys)
+        .select(((F.col("id") * 2654435761) % num_keys).alias("id"))
+        .distinct()
+    )
+    for mode, props in (("bloom", {BLOOM_PROP: "true"}), ("range", None)):
+        t = LakeTable.create(
+            f"{root}/{mode}", S.TARGET_SCHEMA, key_col="doc_id",
+            bucket_count=buckets, props=props,
+        )
+        t0 = time.time()
+        load_rw = 0
+        for s in range(strata):
+            v = t.current_version()
+            t.merge(events(pop.filter(F.col("id") % strata == s), lsn=s + 1))
+            load_rw += rewritten_rows(t, v)
+        load_sec = round(time.time() - t0, 2)
+        v = t.current_version()
+        t0 = time.time()
+        stats = t.merge(events(trickle_ids, lsn=100))
+        out[mode] = {
+            "load_sec": load_sec,
+            "load_rewritten_rows": load_rw,
+            "files": len(t.snapshot()["files"]),
+            "trickle_sec": round(time.time() - t0, 2),
+            "trickle_rewritten_files": stats["rewritten_files"],
+            "trickle_rewritten_rows": rewritten_rows(t, v),
+        }
+    b, r = out["bloom"], out["range"]
+    out["trickle_rows_ratio"] = (
+        round(r["trickle_rewritten_rows"] / b["trickle_rewritten_rows"], 1)
+        if b["trickle_rewritten_rows"]
+        else None
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -375,6 +457,10 @@ def main() -> None:
     replica = run_replica_bench(spark, rp_events, max(1000, rp_events // 20))
     log(f"replica: {replica}")
 
+    bl_keys = int(os.environ.get("BENCH_BLOOM_KEYS", max(10_000, num_keys // 2)))
+    bloom = run_bloom_bench(spark, bl_keys)
+    log(f"bloom: {bloom}")
+
     from horizon_etl_spark.queries import QUERIES
 
     names = os.environ.get("BENCH_QUERIES")
@@ -398,6 +484,7 @@ def main() -> None:
         "rebucket": rebucket,
         "outbox": outbox,
         "replica": replica,
+        "bloom": bloom,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -342,16 +342,26 @@ def run_bloom_bench(
 ) -> dict:
     """Key-Bloom file pruning vs the range-only pruner, on the workload
     range pruning cannot help: POINT-key updates.  The same key
-    population loads into two tables in ``strata`` interleaved commits
-    (stratum s holds keys k ≡ s mod strata, so every file's [min,max]
-    spans the whole key range — the range test's worst case), then a
-    small random-point-key batch updates each.  The range table absorbs
-    every sibling file on every load step (copy-on-write rewrite
-    amplification) and must rewrite each touched bucket's whole file on
-    the trickle; the bloomed table carries files the batch provably
-    misses, so rewritten rows track the keys actually hit.  The
-    many-small-files layout the bloom table keeps is the layout
-    compact_buckets() bounds at scale."""
+    population loads into two tables in ``strata`` CONTIGUOUS-range
+    commits (the realistic ingest shape: time/id-ordered loads produce
+    range-local files, which range pruning carries — so BOTH tables
+    end with the identical ``strata``-files-per-bucket layout and the
+    comparison isolates the pruning decision alone).  A small
+    random-point-key trickle then hits each table twice, bracketing the
+    point-key workload space:
+
+    * ``update`` — random EXISTING keys: the range table rewrites every
+      file its per-bucket [min,max] spans (for k uniform keys per
+      bucket, E ~(k-1)/(k+1) of the stratum span), the bloomed table
+      only the file(s) actually holding each key.
+    * ``insert`` — random NEW keys interleaved between existing ones
+      (the load writes even ids, the insert trickle odd ids): every
+      rewrite the range table does here is pure waste — no existing row
+      moves — while the bloom proves the keys absent and carries
+      everything (~0 rows rewritten, modulo the documented FPR).
+
+    ``strata`` defaults to 8 = the default compact_buckets threshold,
+    i.e. the steady-state file count compaction allows a hot bucket."""
     from pyspark.sql import functions as F
 
     from horizon_etl_spark.cdc import schema as S
@@ -379,42 +389,45 @@ def run_bloom_bench(
         return sum(r for p, r in prev.items() if p not in cur)
 
     out: dict = {"keys": num_keys, "strata": strata, "trickle_keys": trickle_keys}
-    pop = spark.range(num_keys)
-    # deterministic pseudo-random point keys for the trickle
-    trickle_ids = (
-        spark.range(trickle_keys)
-        .select(((F.col("id") * 2654435761) % num_keys).alias("id"))
-        .distinct()
-    )
+    # loaded keys are EVEN ids; odd ids are the never-loaded interleaved
+    # keyspace the insert trickle draws from
+    pop = spark.range(num_keys).select((F.col("id") * 2).alias("id"))
+    rand = ((F.col("id") * 2654435761) % num_keys) * 2
+    upd_ids = spark.range(trickle_keys).select(rand.alias("id")).distinct()
+    ins_ids = spark.range(trickle_keys).select((rand + 1).alias("id")).distinct()
     for mode, props in (("bloom", {BLOOM_PROP: "true"}), ("range", None)):
         t = LakeTable.create(
             f"{root}/{mode}", S.TARGET_SCHEMA, key_col="doc_id",
             bucket_count=buckets, props=props,
         )
         t0 = time.time()
-        load_rw = 0
+        step = num_keys // strata
         for s in range(strata):
-            v = t.current_version()
-            t.merge(events(pop.filter(F.col("id") % strata == s), lsn=s + 1))
-            load_rw += rewritten_rows(t, v)
+            lo = 2 * s * step
+            hi = 2 * num_keys if s == strata - 1 else 2 * (s + 1) * step
+            t.merge(events(pop.filter((F.col("id") >= lo) & (F.col("id") < hi)), lsn=s + 1))
         load_sec = round(time.time() - t0, 2)
-        v = t.current_version()
-        t0 = time.time()
-        stats = t.merge(events(trickle_ids, lsn=100))
-        out[mode] = {
-            "load_sec": load_sec,
-            "load_rewritten_rows": load_rw,
-            "files": len(t.snapshot()["files"]),
-            "trickle_sec": round(time.time() - t0, 2),
-            "trickle_rewritten_files": stats["rewritten_files"],
-            "trickle_rewritten_rows": rewritten_rows(t, v),
-        }
+        res = {"load_sec": load_sec, "files": len(t.snapshot()["files"])}
+        for case, ids, lsn in (("update", upd_ids, 100), ("insert", ins_ids, 101)):
+            v = t.current_version()
+            t0 = time.time()
+            stats = t.merge(events(ids, lsn=lsn))
+            res[case] = {
+                "sec": round(time.time() - t0, 2),
+                "rewritten_files": stats["rewritten_files"],
+                "rewritten_rows": rewritten_rows(t, v),
+            }
+        out[mode] = res
     b, r = out["bloom"], out["range"]
-    out["trickle_rows_ratio"] = (
-        round(r["trickle_rewritten_rows"] / b["trickle_rewritten_rows"], 1)
-        if b["trickle_rewritten_rows"]
+    out["update_rows_ratio"] = (
+        round(r["update"]["rewritten_rows"] / b["update"]["rewritten_rows"], 1)
+        if b["update"]["rewritten_rows"]
         else None
     )
+    out["insert_rows_wasted"] = {
+        "range": r["insert"]["rewritten_rows"],
+        "bloom": b["insert"]["rewritten_rows"],
+    }
     shutil.rmtree(root, ignore_errors=True)
     return out
 

@@ -144,11 +144,19 @@ def main() -> int:
     bench.log(f"rebucket10x: {rb}")
     shutil.rmtree(root, ignore_errors=True)
 
+    # --- key-bloom pruning at a size where rows/file is real (~2k rows
+    # per stratum file, ~16k rows per bucket): the update/insert trickle
+    # write-amplification gap vs range-only pruning, same protocol as
+    # bench.py's bloom section at 50x its keys
+    bloom = bench.run_bloom_bench(spark, 500_000, trickle_keys=64)
+    bench.log(f"bloom10x: {bloom}")
+
     out = {
         "metric": "scale10x_evidence",
         "cpus": args.cpus,
         "cdc10x": cdc,
         "rebucket10x": rb,
+        "bloom10x": bloom,
     }
     if args.skip_cdc and args.out and os.path.exists(args.out):
         # merge the fresh rebucket section over a prior full run

@@ -1646,9 +1646,30 @@ class LakeTable:
                     for full in unref:
                         os.unlink(full)
                         removed_files += 1
+        # bloom sidecars are snapshot metadata, not data files — sweep
+        # the ones no retained snapshot references (same age guard: an
+        # in-flight write creates sidecars before its commit)
+        removed_blooms = 0
+        blooms_root = os.path.join(self.path, "_meta", "blooms")
+        if os.path.isdir(blooms_root):
+            ref_blooms: set[str] = set()
+            for v in retained:
+                for f in self.snapshot(v)["files"]:
+                    bl = f.get("bloom")
+                    if bl:
+                        ref_blooms.add(bl["ref"])
+            for fn in sorted(os.listdir(blooms_root)):
+                rel = os.path.join("_meta", "blooms", fn)
+                full = os.path.join(blooms_root, fn)
+                if rel not in ref_blooms and os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+                    _BLOOM_CACHE.pop(full, None)
+                    removed_blooms += 1
+
         return {
             "removed_snapshots": removed_snapshots,
             "removed_files": removed_files,
+            "removed_blooms": removed_blooms,
             "retained_versions": retained,
         }
 

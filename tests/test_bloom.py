@@ -162,3 +162,21 @@ def test_overwrite_and_compact_build_blooms_and_attr_path(spark, tmp_table_dir):
     )
     rw, _ = _prune(t, up)
     assert len(rw) == 1
+
+
+def test_vacuum_sweeps_orphaned_bloom_sidecars(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 200, 1))
+    t.merge(_batch(spark, 0, 200, 2))  # rewrites; v1 sidecars now orphaned
+    blooms_dir = os.path.join(t.path, "_meta", "blooms")
+    before = len(os.listdir(blooms_dir))
+    res = t.vacuum(keep_versions=1, min_age_seconds=0)
+    assert res["removed_blooms"] > 0
+    live = {f.bloom["ref"] for f in _files(t)}
+    remaining = {
+        os.path.join("_meta", "blooms", fn) for fn in os.listdir(blooms_dir)
+    }
+    assert remaining == live and len(remaining) < before
+    # retained sidecars still load and prune after the sweep
+    rw, _ = _prune(t, _batch(spark, 10, 11, 3))
+    assert len(rw) == 1

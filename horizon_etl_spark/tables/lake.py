@@ -816,15 +816,29 @@ class LakeTable:
         all_files = [FileEntry.from_json(f) for f in snap["files"]]
         # files with a loadable, k-compatible sidecar get membership
         # probes; anything else (pre-bloom files, missing sidecar,
-        # foreign k) degrades to the range-only test
-        bloomed: list[tuple[int, FileEntry, list[int]]] = []
+        # foreign k) degrades to the range-only test.  The probe join
+        # broadcasts every participating bloom, so cap the total bytes
+        # (``key_bloom_max_probe_mb`` prop) and prefer the LARGEST
+        # files — each carries the most avoidable rewrite I/O per
+        # broadcast byte; files past the cap keep the range test.
+        cap_bytes = (
+            float(snap.get("props", {}).get("key_bloom_max_probe_mb", 512)) * 1e6
+        )
+        candidates: list[tuple[int, FileEntry]] = []
         for idx, f in enumerate(all_files):
             bl = f.bloom
-            if not bl or int(bl.get("k", -1)) != BLOOM_K:
+            if bl and int(bl.get("k", -1)) == BLOOM_K:
+                candidates.append((idx, f))
+        candidates.sort(key=lambda t: t[1].rows or 0, reverse=True)
+        bloomed: list[tuple[int, FileEntry, list[int]]] = []
+        budget = cap_bytes
+        for idx, f in candidates:
+            if budget - int(f.bloom["m"]) / 8 < 0:
                 continue
-            words = _load_bloom_words(os.path.join(self.path, bl["ref"]))
-            if words is not None and len(words) * 64 == int(bl["m"]):
+            words = _load_bloom_words(os.path.join(self.path, f.bloom["ref"]))
+            if words is not None and len(words) * 64 == int(f.bloom["m"]):
                 bloomed.append((idx, f, words))
+                budget -= len(words) * 8
 
         hit_fids: dict[int, set[int]] = {}
         if not bloomed:

@@ -180,3 +180,23 @@ def test_vacuum_sweeps_orphaned_bloom_sidecars(spark, tmp_table_dir):
     # retained sidecars still load and prune after the sweep
     rw, _ = _prune(t, _batch(spark, 10, 11, 3))
     assert len(rw) == 1
+
+
+def test_probe_budget_cap_prefers_largest_files(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 800, 1))   # big files
+    t.merge(_batch(spark, 800, 850, 2))  # small files, interleave-free
+    # shrink the probe budget so only the big files' blooms fit
+    big = sorted((f.bloom["m"] for f in _files(t)), reverse=True)
+    keep_bytes = sum(big[:4]) / 8
+    t.set_props({"key_bloom_max_probe_mb": keep_bytes / 1e6})
+    # a batch of keys present only in the big files: the big files are
+    # bloom-pruned precisely, the small (range-carried) files untouched
+    rw, carry = _prune(t, _batch(spark, 5, 6, 3))
+    assert len(rw) == 1
+    truth = _keys_in_file(t, rw[0])
+    assert "k000005" in truth
+    # and correctness is unaffected with the cap at zero (range-only)
+    t.set_props({"key_bloom_max_probe_mb": 0})
+    rw0, _ = _prune(t, _batch(spark, 5, 6, 3))
+    assert {f.path for f in rw} <= {f.path for f in rw0}

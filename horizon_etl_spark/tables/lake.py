@@ -455,6 +455,103 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
         return df.select(*cols)
 
+    def _files_for_keys(
+        self, spark: SparkSession, keys: list[str], snap: dict[str, Any]
+    ) -> list[FileEntry]:
+        """Driver-side file pruning for a point-key lookup: bucket +
+        min/max range + (when sidecars exist) bloom membership.  The
+        only Spark work is one tiny job computing the keys' xxhash64
+        values (the engine never re-implements the hash in Python); the
+        probes themselves run in-process against the cached sidecar
+        words, so pruning cost is O(keys × files-in-their-buckets) bit
+        tests — no cluster round trip per file."""
+        key_col = snap["key_col"]
+        nb = snap["bucket_count"]
+        h1e, h2e = _bloom_hash_exprs(key_col)
+        rows = (
+            spark.createDataFrame([(k,) for k in keys], f"{key_col} string")
+            .select(
+                F.col(key_col),
+                bucket_expr(key_col, nb).alias("_b"),
+                h1e.alias("_h1"),
+                h2e.alias("_h2"),
+            )
+            .collect()
+        )
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(r["_b"], []).append(r)
+        out: list[FileEntry] = []
+        for f in [FileEntry.from_json(x) for x in snap["files"]]:
+            cands = by_bucket.get(f.bucket)
+            if not cands:
+                continue
+            cands = [
+                r
+                for r in cands
+                if f.min_key is None
+                or f.max_key is None
+                or (f.min_key <= r[key_col] <= f.max_key)
+            ]
+            if not cands:
+                continue
+            bl = f.bloom
+            words = (
+                _load_bloom_words(os.path.join(self.path, bl["ref"]))
+                if bl and int(bl.get("k", -1)) == BLOOM_K
+                else None
+            )
+            if words is None or len(words) * 64 != int(bl["m"]):
+                out.append(f)  # no usable sidecar → range result stands
+                continue
+            m = int(bl["m"])
+            hit = False
+            for r in cands:
+                h1m, h2m = r["_h1"] % m, r["_h2"] % m
+                if all(
+                    (words[p >> 6] >> (p & 63)) & 1
+                    for p in ((h1m + i * h2m) % m for i in range(BLOOM_K))
+                ):
+                    hit = True
+                    break
+            if hit:
+                out.append(f)
+        return out
+
+    def read_keys(
+        self,
+        spark: SparkSession,
+        keys: list[str],
+        version: int | None = None,
+        include_meta: bool = False,
+    ) -> DataFrame:
+        """Point-lookup read: the rows for ``keys`` (live only, unless
+        ``include_meta``), scanning ONLY the data files that can hold
+        them — bucket + min/max + bloom pruning driver-side, then an
+        explicit-schema scan of the surviving files with the key
+        predicate pushed to parquet.  At production scale this is the
+        difference between an entity lookup costing O(keys) file reads
+        and a full-table scan; the reference's per-entity get paths
+        (/root/reference/src/core/logic/initiative_handlers.py:54-106)
+        are point reads of exactly this shape."""
+        snap = self.snapshot(version)
+        assert snap["key_col"] is not None, "read_keys requires a keyed table"
+        schema = StructType.fromJson(snap["schema"])
+        files = self._files_for_keys(spark, list(keys), snap) if keys else []
+        df = self._scan(spark, files, schema).filter(
+            F.col(snap["key_col"]).isin(list(keys))
+        )
+        if include_meta:
+            return df
+
+        def is_meta(n: str) -> bool:
+            return n in (LSN_COL, TOMBSTONE_COL, DEL_LSN_COL) or n.startswith(ALSN_PREFIX)
+
+        cols = [f.name for f in schema.fields if not is_meta(f.name)]
+        if TOMBSTONE_COL in df.columns:
+            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
+        return df.select(*cols)
+
     # ---------------------------------------------------------------- append
     def append(
         self, df: DataFrame, operation: str = "append", props: dict[str, Any] | None = None

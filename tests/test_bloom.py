@@ -200,3 +200,27 @@ def test_probe_budget_cap_prefers_largest_files(spark, tmp_table_dir):
     t.set_props({"key_bloom_max_probe_mb": 0})
     rw0, _ = _prune(t, _batch(spark, 5, 6, 3))
     assert {f.path for f in rw} <= {f.path for f in rw0}
+
+
+def test_read_keys_point_lookup_scans_only_holding_files(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t", buckets=4)
+    t.merge(_batch(spark, 0, 400, 1))
+    t.merge(_batch(spark, 400, 800, 2))
+    t.merge(_batch(spark, 150, 151, 9, op="delete"))
+    # values equal the filtered full read
+    got = {r["k"]: r["v"] for r in t.read_keys(spark, ["k000010", "k000700", "k000150", "k999999"]).collect()}
+    assert got == {"k000010": 10, "k000700": 700}  # deleted + absent keys drop
+    # pruning: the lookup scans only files that can hold the keys
+    snap = t.snapshot()
+    pruned = t._files_for_keys(spark, ["k000010"], snap)
+    holders = [f for f in _files(t) if "k000010" in _keys_in_file(t, f)]
+    assert {f.path for f in holders} <= {f.path for f in pruned}
+    assert len(pruned) <= 2  # bloom keeps it near the single holding file
+    # absent-but-in-range key ("k0001505" sorts between k000150 and
+    # k000151): range pruning alone would scan its bucket's files, the
+    # bloom proves absence driver-side (fixed key, deterministic — a
+    # false positive would keep ≤1 file, never produce a wrong row)
+    assert len(t._files_for_keys(spark, ["k0001505"], snap)) == 0
+    # out-of-range key and empty lookup cost nothing
+    assert t._files_for_keys(spark, ["k999999"], snap) == []
+    assert t.read_keys(spark, []).count() == 0

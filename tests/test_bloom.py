@@ -224,3 +224,18 @@ def test_read_keys_point_lookup_scans_only_holding_files(spark, tmp_table_dir):
     # out-of-range key and empty lookup cost nothing
     assert t._files_for_keys(spark, ["k999999"], snap) == []
     assert t.read_keys(spark, []).count() == 0
+
+
+def test_schema_evolution_on_bloomed_table(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 200, 1))
+    evolved = _batch(spark, 100, 300, 2).withColumn("extra", F.col("v") * 2)
+    t.merge(evolved)  # additive evolution on a bloomed table
+    files = _files(t)
+    assert all(f.bloom for f in files)
+    rows = {r["k"]: r for r in t.read(spark).collect()}
+    assert len(rows) == 300
+    assert rows["k000150"]["extra"] == 300 and rows["k000050"]["extra"] is None
+    # point lookup still prunes and returns the evolved column
+    got = t.read_keys(spark, ["k000250"]).collect()
+    assert len(got) == 1 and got[0]["extra"] == 500

@@ -47,6 +47,7 @@ import json
 import os
 import shutil
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass
 from typing import Any
 
@@ -209,24 +210,51 @@ def _bloom_build_pdf(pdf):
     )
 
 
-# Bloom sidecar files are immutable once written — cache decoded word
-# arrays per absolute path so repeated merges against the same snapshot
-# don't re-read them.
-_BLOOM_CACHE: dict[str, list[int]] = {}
+# Sidecars are one-row parquet files (m, k, words) — the merge-time
+# probe scans them JVM-side (no Python word serialization on the hot
+# path); only the driver-side point-lookup path decodes them here.
+# Immutable once written, so cache per absolute path — bounded LRU
+# (sidecars from expired snapshots would otherwise accumulate for the
+# driver process's lifetime).
+_BLOOM_CACHE: "OrderedDict[str, list[int]]" = OrderedDict()
+_BLOOM_CACHE_STATE = {"bytes": 0, "max_bytes": 256 * 1024 * 1024}
 
 
-def _load_bloom_words(abs_path: str) -> list[int] | None:
+def _bloom_cache_evict(abs_path: str) -> None:
+    ws = _BLOOM_CACHE.pop(abs_path, None)
+    if ws is not None:
+        _BLOOM_CACHE_STATE["bytes"] -= len(ws) * 8
+
+
+def _usable_bloom_words(table_path: str, bloom: dict[str, Any]) -> list[int] | None:
+    """Decode + validate one sidecar for driver-side probing; None for
+    any missing / corrupt / parameter-mismatched sidecar (the caller
+    degrades to range-only pruning).  The usability invariant (k
+    matches this engine's probe count, word length matches m, m matches
+    the manifest) lives here and in the merge path's JVM-side filter —
+    the only two consumers."""
+    if not bloom or int(bloom.get("k", -1)) != BLOOM_K:
+        return None
+    abs_path = os.path.join(table_path, bloom["ref"])
     cached = _BLOOM_CACHE.get(abs_path)
     if cached is not None:
+        _BLOOM_CACHE.move_to_end(abs_path)
         return cached
     try:
-        import numpy as np
+        import pyarrow.parquet as pq
 
-        with open(abs_path, "rb") as fh:
-            words = np.frombuffer(fh.read(), dtype="<i8").tolist()
-    except OSError:
-        return None  # missing sidecar degrades to range-only pruning
+        t = pq.read_table(abs_path)
+        m, k = t["m"][0].as_py(), t["k"][0].as_py()
+        words = t["words"][0].as_py()
+    except Exception:
+        return None
+    if k != BLOOM_K or len(words) * 64 != m or m != int(bloom["m"]):
+        return None
     _BLOOM_CACHE[abs_path] = words
+    _BLOOM_CACHE_STATE["bytes"] += len(words) * 8
+    while _BLOOM_CACHE_STATE["bytes"] > _BLOOM_CACHE_STATE["max_bytes"] and _BLOOM_CACHE:
+        _evicted, ws = _BLOOM_CACHE.popitem(last=False)
+        _BLOOM_CACHE_STATE["bytes"] -= len(ws) * 8
     return words
 
 
@@ -446,30 +474,40 @@ class LakeTable:
         df = self._scan(spark, files, schema)
         if include_meta:
             return df
+        return self._strip_meta(df, schema)
+
+    @staticmethod
+    def _strip_meta(df: DataFrame, schema: StructType) -> DataFrame:
+        """Drop tombstoned rows and internal meta columns — the shared
+        tail of read() and read_keys()."""
 
         def is_meta(n: str) -> bool:
             return n in (LSN_COL, TOMBSTONE_COL, DEL_LSN_COL) or n.startswith(ALSN_PREFIX)
 
-        cols = [f.name for f in schema.fields if not is_meta(f.name)]
         if TOMBSTONE_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
-        return df.select(*cols)
+        return df.select(*[f.name for f in schema.fields if not is_meta(f.name)])
 
     def _files_for_keys(
-        self, spark: SparkSession, keys: list[str], snap: dict[str, Any]
+        self, spark: SparkSession, keys: list, snap: dict[str, Any]
     ) -> list[FileEntry]:
         """Driver-side file pruning for a point-key lookup: bucket +
         min/max range + (when sidecars exist) bloom membership.  The
         only Spark work is one tiny job computing the keys' xxhash64
-        values (the engine never re-implements the hash in Python); the
+        values with the TABLE's key dtype (the engine never
+        re-implements the hash in Python, and hashing e.g. a long key
+        as its string form would silently probe the wrong bucket); the
         probes themselves run in-process against the cached sidecar
         words, so pruning cost is O(keys × files-in-their-buckets) bit
         tests — no cluster round trip per file."""
         key_col = snap["key_col"]
         nb = snap["bucket_count"]
+        key_field = StructType.fromJson(snap["schema"])[key_col]
         h1e, h2e = _bloom_hash_exprs(key_col)
         rows = (
-            spark.createDataFrame([(k,) for k in keys], f"{key_col} string")
+            spark.createDataFrame(
+                [(k,) for k in keys], StructType([key_field])
+            )
             .select(
                 F.col(key_col),
                 bucket_expr(key_col, nb).alias("_b"),
@@ -483,6 +521,9 @@ class LakeTable:
             by_bucket.setdefault(r["_b"], []).append(r)
         out: list[FileEntry] = []
         for f in [FileEntry.from_json(x) for x in snap["files"]]:
+            if f.bucket == -1:
+                out.append(f)  # unbucketed file: no layout info, scan it
+                continue
             cands = by_bucket.get(f.bucket)
             if not cands:
                 continue
@@ -495,16 +536,11 @@ class LakeTable:
             ]
             if not cands:
                 continue
-            bl = f.bloom
-            words = (
-                _load_bloom_words(os.path.join(self.path, bl["ref"]))
-                if bl and int(bl.get("k", -1)) == BLOOM_K
-                else None
-            )
-            if words is None or len(words) * 64 != int(bl["m"]):
+            words = _usable_bloom_words(self.path, f.bloom) if f.bloom else None
+            if words is None:
                 out.append(f)  # no usable sidecar → range result stands
                 continue
-            m = int(bl["m"])
+            m = int(f.bloom["m"])
             hit = False
             for r in cands:
                 h1m, h2m = r["_h1"] % m, r["_h2"] % m
@@ -543,14 +579,7 @@ class LakeTable:
         )
         if include_meta:
             return df
-
-        def is_meta(n: str) -> bool:
-            return n in (LSN_COL, TOMBSTONE_COL, DEL_LSN_COL) or n.startswith(ALSN_PREFIX)
-
-        cols = [f.name for f in schema.fields if not is_meta(f.name)]
-        if TOMBSTONE_COL in df.columns:
-            df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
-        return df.select(*cols)
+        return self._strip_meta(df, schema)
 
     # ---------------------------------------------------------------- append
     def append(
@@ -871,13 +900,30 @@ class LakeTable:
         )
         blooms_dir = os.path.join(self.path, "_meta", "blooms")
         os.makedirs(blooms_dir, exist_ok=True)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         out: dict[str, dict[str, Any]] = {}
         for r in rows:
+            # one-row parquet sidecar: the merge-time probe scans these
+            # JVM-side, so the bloom words never round-trip through the
+            # Python driver on the hot path
             ref = os.path.join(
-                "_meta", "blooms", f"v{version:08d}-{uuid.uuid4().hex[:8]}.bloom"
+                "_meta", "blooms", f"v{version:08d}-{uuid.uuid4().hex[:8]}.bloom.parquet"
             )
-            with open(os.path.join(self.path, ref), "wb") as fh:
-                fh.write(np.array(r["words"], dtype="<i8").tobytes())
+            pq.write_table(
+                pa.table(
+                    {
+                        "m": pa.array([int(r["m"])], pa.int64()),
+                        "k": pa.array([int(r["k"])], pa.int32()),
+                        "words": pa.array(
+                            [np.asarray(r["words"], dtype=np.int64)],
+                            pa.list_(pa.int64()),
+                        ),
+                    }
+                ),
+                os.path.join(self.path, ref),
+            )
             parts = r["_file"].rstrip("/").split("/")
             out["/".join(parts[-2:])] = {
                 "ref": ref,
@@ -911,10 +957,11 @@ class LakeTable:
         sound and prunes strictly more than either alone."""
         key = self.key_col
         all_files = [FileEntry.from_json(f) for f in snap["files"]]
-        # files with a loadable, k-compatible sidecar get membership
-        # probes; anything else (pre-bloom files, missing sidecar,
-        # foreign k) degrades to the range-only test.  The probe join
-        # broadcasts every participating bloom, so cap the total bytes
+        # files with a k-compatible sidecar get membership probes; the
+        # sidecars are one-row parquet files scanned JVM-SIDE inside the
+        # probe (no Python word serialization per merge — the trickle
+        # hot path stays driver-light).  The probe broadcasts every
+        # participating bloom, so cap the total bytes
         # (``key_bloom_max_probe_mb`` prop) and prefer the LARGEST
         # files — each carries the most avoidable rewrite I/O per
         # broadcast byte; files past the cap keep the range test.
@@ -927,16 +974,25 @@ class LakeTable:
             if bl and int(bl.get("k", -1)) == BLOOM_K:
                 candidates.append((idx, f))
         candidates.sort(key=lambda t: t[1].rows or 0, reverse=True)
-        bloomed: list[tuple[int, FileEntry, list[int]]] = []
+        bloomed: list[tuple[int, FileEntry]] = []
         budget = cap_bytes
         for idx, f in candidates:
-            if budget - int(f.bloom["m"]) / 8 < 0:
-                continue
-            words = _load_bloom_words(os.path.join(self.path, f.bloom["ref"]))
-            if words is not None and len(words) * 64 == int(f.bloom["m"]):
-                bloomed.append((idx, f, words))
-                budget -= len(words) * 8
+            cost = int(f.bloom["m"]) / 8
+            # existence check at selection: a path missing at PLANNING
+            # time throws despite ignoreMissingFiles (which only covers
+            # disappearance between listing and execution — the vacuum
+            # race the option is kept for)
+            if budget >= cost and os.path.exists(os.path.join(self.path, f.bloom["ref"])):
+                bloomed.append((idx, f))
+                budget -= cost
 
+        # probed = files whose sidecar actually joined the aggregate;
+        # hit = probed files some batch key's bits all matched.  The
+        # distinction makes sidecar loss safe: a missing/corrupt/
+        # mis-sized sidecar silently drops out of the scan
+        # (ignoreMissing/ignoreCorrupt + the m/k filter), its file is
+        # then NOT in `probed`, and the range-only verdict stands.
+        probed_fids: dict[int, set[int]] = {}
         hit_fids: dict[int, set[int]] = {}
         if not bloomed:
             touched = (
@@ -946,9 +1002,26 @@ class LakeTable:
             )
         else:
             spark = src.sparkSession
-            fm = spark.createDataFrame(
-                [(f.bucket, idx, int(f.bloom["m"]), words) for idx, f, words in bloomed],
-                schema=f"{BUCKET_COL} int, _fid int, _m long, _words array<bigint>",
+            lk = spark.createDataFrame(
+                [
+                    (os.path.basename(f.bloom["ref"]), f.bucket, idx)
+                    for idx, f in bloomed
+                ],
+                schema=f"_ref string, {BUCKET_COL} int, _fid int",
+            )
+            fm = (
+                spark.read.schema("m long, k int, words array<bigint>")
+                .option("ignoreCorruptFiles", "true")
+                .option("ignoreMissingFiles", "true")
+                .parquet(*[os.path.join(self.path, f.bloom["ref"]) for _i, f in bloomed])
+                .filter(
+                    (F.col("k") == BLOOM_K) & (F.size("words") * 64 == F.col("m"))
+                )
+                .withColumn(
+                    "_ref", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
+                .join(F.broadcast(lk), "_ref")
+                .select(BUCKET_COL, "_fid", F.col("m").alias("_m"), F.col("words").alias("_words"))
             )
             h1, h2 = _bloom_hash_exprs(key)
             probe = (
@@ -978,14 +1051,15 @@ class LakeTable:
                 .agg(
                     F.min(key).alias("mn"),
                     F.max(key).alias("mx"),
+                    F.collect_set(F.col("_fid")).alias("probed"),
                     F.collect_set(F.when(hit, F.col("_fid"))).alias("hits"),
                 )
                 .collect()
             )
+            probed_fids = {r[BUCKET_COL]: set(r["probed"]) for r in touched}
             hit_fids = {r[BUCKET_COL]: set(r["hits"]) for r in touched}
 
         touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
-        bloom_ok = {idx for idx, _, _ in bloomed}
         rewrite_files: list[FileEntry] = []
         carry_files: list[FileEntry] = []
         for idx, f in enumerate(all_files):
@@ -995,7 +1069,7 @@ class LakeTable:
                 and f.min_key is not None
                 and (f.max_key < rng[0] or f.min_key > rng[1])
             )
-            if overlaps and idx in bloom_ok:
+            if overlaps and idx in probed_fids.get(f.bucket, set()):
                 overlaps = idx in hit_fids.get(f.bucket, set())
             (rewrite_files if overlaps else carry_files).append(f)
         return rewrite_files, carry_files
@@ -1722,8 +1796,12 @@ class LakeTable:
         retained = versions[-keep_versions:]
         expired = versions[: -keep_versions]
         referenced: set[str] = set()
+        ref_blooms: set[str] = set()
         for v in retained:
-            referenced |= {f["path"] for f in self.snapshot(v)["files"]}
+            for f in self.snapshot(v)["files"]:
+                referenced.add(f["path"])
+                if f.get("bloom"):
+                    ref_blooms.add(f["bloom"]["ref"])
 
         removed_snapshots = 0
         for v in expired:
@@ -1763,18 +1841,12 @@ class LakeTable:
         removed_blooms = 0
         blooms_root = os.path.join(self.path, "_meta", "blooms")
         if os.path.isdir(blooms_root):
-            ref_blooms: set[str] = set()
-            for v in retained:
-                for f in self.snapshot(v)["files"]:
-                    bl = f.get("bloom")
-                    if bl:
-                        ref_blooms.add(bl["ref"])
             for fn in sorted(os.listdir(blooms_root)):
                 rel = os.path.join("_meta", "blooms", fn)
                 full = os.path.join(blooms_root, fn)
                 if rel not in ref_blooms and os.path.getmtime(full) <= cutoff:
                     os.unlink(full)
-                    _BLOOM_CACHE.pop(full, None)
+                    _bloom_cache_evict(full)
                     removed_blooms += 1
 
         return {

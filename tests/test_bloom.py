@@ -64,9 +64,11 @@ def test_bulk_writes_build_bloom_sidecars(spark, tmp_table_dir):
     t.merge(_batch(spark, 0, 500, 1))
     files = _files(t)
     assert files and all(f.bloom for f in files)
+    from horizon_etl_spark.tables.lake import _usable_bloom_words
+
     for f in files:
-        ref = os.path.join(t.path, f.bloom["ref"])
-        assert os.path.getsize(ref) * 8 == f.bloom["m"]
+        words = _usable_bloom_words(t.path, f.bloom)
+        assert words is not None and len(words) * 64 == f.bloom["m"]
         # sized ~BITS_PER_KEY per row, rounded to whole words
         assert f.bloom["m"] >= f.rows and f.bloom["m"] % 64 == 0
 

@@ -226,7 +226,7 @@ def _bloom_cache_evict(abs_path: str) -> None:
         _BLOOM_CACHE_STATE["bytes"] -= len(ws) * 8
 
 
-def _usable_bloom_words(table_path: str, bloom: dict[str, Any]) -> list[int] | None:
+def _usable_bloom_words(table_path: str, bloom: dict[str, Any]) -> "np.ndarray | None":
     """Decode + validate one sidecar for driver-side probing; None for
     any missing / corrupt / parameter-mismatched sidecar (the caller
     degrades to range-only pruning).  The usability invariant (k
@@ -235,9 +235,16 @@ def _usable_bloom_words(table_path: str, bloom: dict[str, Any]) -> list[int] | N
     the only two consumers."""
     if not bloom or int(bloom.get("k", -1)) != BLOOM_K:
         return None
+    import numpy as np
+
     abs_path = os.path.join(table_path, bloom["ref"])
     cached = _BLOOM_CACHE.get(abs_path)
     if cached is not None:
+        # re-validate against THIS manifest entry: a cache hit must not
+        # skip the m check (a mismatched manifest would otherwise probe
+        # out-of-range positions instead of degrading)
+        if len(cached) * 64 != int(bloom["m"]):
+            return None
         _BLOOM_CACHE.move_to_end(abs_path)
         return cached
     try:
@@ -245,7 +252,10 @@ def _usable_bloom_words(table_path: str, bloom: dict[str, Any]) -> list[int] | N
 
         t = pq.read_table(abs_path)
         m, k = t["m"][0].as_py(), t["k"][0].as_py()
-        words = t["words"][0].as_py()
+        # numpy array, not a list of boxed ints: the LRU's 8-bytes/word
+        # accounting is then true (a list[int] costs ~5× its nominal
+        # size and would blow past the 256 MB bound unnoticed)
+        words = np.asarray(t["words"][0].as_py(), dtype=np.int64)
     except Exception:
         return None
     if k != BLOOM_K or len(words) * 64 != m or m != int(bloom["m"]):
@@ -557,13 +567,15 @@ class LakeTable:
     def read_keys(
         self,
         spark: SparkSession,
-        keys: list[str],
+        keys: list,
         version: int | None = None,
         include_meta: bool = False,
     ) -> DataFrame:
-        """Point-lookup read: the rows for ``keys`` (live only, unless
-        ``include_meta``), scanning ONLY the data files that can hold
-        them — bucket + min/max + bloom pruning driver-side, then an
+        """Point-lookup read: the rows for ``keys`` — values in the
+        TABLE's native key dtype (a long-keyed table takes ints, not
+        their string forms) — live only, unless ``include_meta``,
+        scanning ONLY the data files that can hold them: bucket +
+        min/max + bloom pruning driver-side, then an
         explicit-schema scan of the surviving files with the key
         predicate pushed to parquet.  At production scale this is the
         difference between an entity lookup costing O(keys) file reads
@@ -971,7 +983,13 @@ class LakeTable:
         candidates: list[tuple[int, FileEntry]] = []
         for idx, f in enumerate(all_files):
             bl = f.bloom
-            if bl and int(bl.get("k", -1)) == BLOOM_K:
+            # suffix check keeps legacy/foreign sidecar formats (which
+            # the JVM scan would silently drop) from consuming budget
+            if (
+                bl
+                and int(bl.get("k", -1)) == BLOOM_K
+                and bl["ref"].endswith(".bloom.parquet")
+            ):
                 candidates.append((idx, f))
         candidates.sort(key=lambda t: t[1].rows or 0, reverse=True)
         bloomed: list[tuple[int, FileEntry]] = []
@@ -1063,6 +1081,12 @@ class LakeTable:
         rewrite_files: list[FileEntry] = []
         carry_files: list[FileEntry] = []
         for idx, f in enumerate(all_files):
+            if f.bucket == -1:
+                # unbucketed file on a keyed table (stray append): no
+                # layout info, so any non-empty batch may touch it —
+                # must rewrite, mirroring read_keys' always-scan rule
+                (rewrite_files if touched_range else carry_files).append(f)
+                continue
             rng = touched_range.get(f.bucket)
             overlaps = rng is not None and not (
                 f.max_key is not None

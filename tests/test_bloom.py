@@ -241,3 +241,40 @@ def test_schema_evolution_on_bloomed_table(spark, tmp_table_dir):
     # point lookup still prunes and returns the evolved column
     got = t.read_keys(spark, ["k000250"]).collect()
     assert len(got) == 1 and got[0]["extra"] == 500
+
+
+def test_read_keys_native_long_key_dtype(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "lk"),
+        StructType([StructField("id", LongType(), False), StructField("v", LongType(), True)]),
+        key_col="id",
+        bucket_count=4,
+        props={BLOOM_PROP: "true"},
+    )
+    t.merge(
+        spark.range(0, 300).select(
+            F.col("id"), (F.col("id") * 10).alias("v"),
+            F.lit("upsert").alias("op"), F.lit(1).cast("long").alias("lsn"),
+        )
+    )
+    got = {r["id"]: r["v"] for r in t.read_keys(spark, [7, 250, 999]).collect()}
+    assert got == {7: 70, 250: 2500}
+
+
+def test_merge_rewrites_stray_unbucketed_file(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 50, 1))
+    # stray append lands keyed rows in an unbucketed (bucket=-1) file
+    stray = spark.createDataFrame(
+        [("k900000", 1, 1, False)], "k string, v long, _lsn long, _tombstone boolean"
+    )
+    t.append(stray)
+    assert any(f.bucket == -1 for f in _files(t))
+    # an update for the stray key must rewrite that file, not duplicate
+    t.merge(_batch(spark, 900000, 900001, 5))
+    rows = [r for r in t.read(spark).collect() if r["k"] == "k900000"]
+    assert len(rows) == 1 and rows[0]["v"] == 900000
+    assert not any(f.bucket == -1 for f in _files(t))
+    # and read_keys sees exactly the merged row
+    got = t.read_keys(spark, ["k900000"]).collect()
+    assert len(got) == 1 and got[0]["v"] == 900000

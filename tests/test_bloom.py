@@ -278,3 +278,28 @@ def test_merge_rewrites_stray_unbucketed_file(spark, tmp_table_dir):
     # and read_keys sees exactly the merged row
     got = t.read_keys(spark, ["k900000"]).collect()
     assert len(got) == 1 and got[0]["v"] == 900000
+
+
+def test_probe_plan_broadcasts_and_avoids_cartesian(spark, tmp_table_dir):
+    """The merge-time probe must join batch keys to the sidecar scan
+    with a broadcast hash join (bloom meta is small by construction —
+    the byte cap bounds it) and never a cartesian/nested-loop shape."""
+    t = _mk_table(tmp_table_dir, "t")
+    t.merge(_batch(spark, 0, 400, 1))
+    captured = []
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    orig = ClassicDF.collect
+
+    def spy(self):
+        captured.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig(self)
+
+    ClassicDF.collect = spy
+    try:
+        _prune(t, _batch(spark, 10, 12, 2))
+    finally:
+        ClassicDF.collect = orig
+    plan = captured[-1]
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

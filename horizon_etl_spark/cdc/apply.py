@@ -402,17 +402,29 @@ def _feed_defeats_partial_agg(df: DataFrame, key: str = "doc_id") -> bool:
     Detection is O(plan), no job: the batch's physical plan must not
     claim ``hashpartitioning(<key>...)`` as its output partitioning.
     """
-    import re
+    def _is_single_key_hash(jpart) -> bool:
+        # parse the JVM Partitioning object instead of regexing its
+        # string form — a multi-column hashpartitioning does NOT
+        # satisfy the agg's single-key distribution (Spark still
+        # inserts the Exchange), so it must not trigger the salted
+        # path; only HashPartitioning over exactly [key] counts.
+        cls = jpart.getClass().getSimpleName()
+        if cls == "PartitioningCollection":
+            parts = jpart.partitionings()
+            return any(
+                _is_single_key_hash(parts.apply(i)) for i in range(parts.size())
+            )
+        if cls != "HashPartitioning":
+            return False
+        exprs = jpart.expressions()
+        if exprs.size() != 1:
+            return False
+        # AttributeReference renders as <name>#<exprId>[qualifier...]
+        return exprs.apply(0).toString().split("#", 1)[0] == key
 
     try:
-        part = (
-            df._jdf.queryExecution().sparkPlan().outputPartitioning().toString()
-        )
-        # exactly hashpartitioning(<key>#<exprId>, <numPartitions>) —
-        # a multi-column hashpartitioning does NOT satisfy the agg's
-        # single-key distribution (Spark still inserts the Exchange),
-        # so it must not trigger the salted path
-        return bool(re.search(rf"hashpartitioning\({re.escape(key)}#\d+, \d+\)", part))
+        jpart = df._jdf.queryExecution().sparkPlan().outputPartitioning()
+        return _is_single_key_hash(jpart)
     except Exception:
         return False
 

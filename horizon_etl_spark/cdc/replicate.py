@@ -171,11 +171,30 @@ def replicate_from_outbox(
     run, which the lsn-guarded fold makes a no-op.  Returns per-run
     evidence."""
     cursor = int(replica.props.get("outbox_applied_to", 0))
-    pending: list[tuple[str, int]] = []
+    pending: list[tuple[str, int, int]] = []
     for dname in list_change_exports(out_dir, name):
-        to_v = int(dname.rsplit("_", 1)[-1])
+        parts = dname.rsplit("_", 2)
+        from_v, to_v = int(parts[-2]), int(parts[-1])
         if to_v > cursor:
-            pending.append((dname, to_v))
+            pending.append((dname, from_v, to_v))
+    pending.sort(key=lambda t: t[2])
+    # contiguity guard: the pending deltas must chain gaplessly from the
+    # cursor — a delta artifact deleted/GC'd out of the middle would
+    # otherwise be SILENTLY skipped while the cursor advances past it,
+    # permanent replica divergence (the same failure class the
+    # unknown-column guard below hard-fails on).  from_v==1 is the
+    # table-create commit, so a fresh replica (cursor 0) starts there.
+    expect = max(cursor, 1)
+    for dname, from_v, _to_v in pending:
+        if from_v > expect:
+            raise ValueError(
+                f"outbox delta chain has a gap: next pending delta "
+                f"{dname!r} starts at version {from_v} but the replica "
+                f"has only applied up to {expect}; the covering delta "
+                f"artifact is missing (deleted/GC'd?) — resync the "
+                f"replica from a full export"
+            )
+        expect = _to_v
     if not pending:
         return {
             "applied_deltas": [],
@@ -186,7 +205,7 @@ def replicate_from_outbox(
 
     key = replica.snapshot()["key_col"]
     fields: dict[str, StructField] = {f.name: f for f in _payload_fields(replica)}
-    for dname, _ in pending:
+    for dname, _f, _t in pending:
         ts_json = export_manifest(out_dir, dname).get("target_schema")
         if ts_json:
             for f in StructType.fromJson(ts_json).fields:
@@ -194,7 +213,7 @@ def replicate_from_outbox(
                     fields[f.name] = f
 
     delta: DataFrame | None = None
-    for dname, _ in pending:
+    for dname, _f, _t in pending:
         d = read_export(spark, out_dir, dname, fmt)
         delta = d if delta is None else delta.unionByName(d, allowMissingColumns=True)
 
@@ -214,10 +233,10 @@ def replicate_from_outbox(
 
     events = delta_to_attr_events(delta, list(fields.values()), key=key)
     replica.merge_attrs(attr_lww_reduce(events, key=key))
-    to_v = max(v for _, v in pending)
+    to_v = max(v for _d, _f, v in pending)
     replica.set_props({"outbox_applied_to": to_v})
     return {
-        "applied_deltas": [d for d, _ in pending],
+        "applied_deltas": [d for d, _f, _t in pending],
         "change_rows": int(stats["n"]),
         "cursor": to_v,
         "replica_version": replica.current_version(),

@@ -390,6 +390,17 @@ def export_graph(
     return {"path": link, "n_nodes": counts["nodes"], "n_edges": counts["edges"]}
 
 
+def _copy_stream(src, dest, chunk: int = 1 << 20) -> int:
+    """shutil.copyfileobj with a byte count (for the bundle manifest)."""
+    n = 0
+    while True:
+        buf = src.read(chunk)
+        if not buf:
+            return n
+        dest.write(buf)
+        n += len(buf)
+
+
 def bundle_exports(
     out_dir: str,
     zip_name: str = "exports_bundle.zip",
@@ -438,11 +449,13 @@ def bundle_exports(
                         )
                         info.compress_type = zipfile.ZIP_DEFLATED
                         info.external_attr = 0o644 << 16
-                        with open(fpath, "rb") as fh:
-                            data = fh.read()
-                        zf.writestr(info, data)
+                        # stream, don't slurp: driver memory stays
+                        # O(1 MiB chunk) however large the biggest
+                        # artifact is; ZipInfo is pre-pinned so the
+                        # bundle stays byte-reproducible
+                        with open(fpath, "rb") as fh, zf.open(info, "w") as dest:
+                            total += _copy_stream(fh, dest)
                         n_files += 1
-                        total += len(data)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)

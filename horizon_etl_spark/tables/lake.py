@@ -163,6 +163,11 @@ BLOOM_BITS_PER_KEY = 16
 BLOOM_K = 8
 BLOOM_MAX_BITS = 1 << 23  # 1 MiB cap per file (FPR degrades, stays safe)
 BLOOM_PROP = "key_bloom"
+# read_keys is a POINT-lookup API; beyond this many keys the isin()
+# literal list (and the per-key driver bloom loop) stops being the
+# right plan, so the read degrades to a broadcast semi-join with
+# bucket+range-only pruning instead of failing or crawling
+READ_KEYS_ISIN_MAX = 10_000
 
 
 def _bloom_hash_exprs(key_col: str) -> tuple[Column, Column]:
@@ -182,32 +187,82 @@ def _bloom_hash_exprs(key_col: str) -> tuple[Column, Column]:
     )
 
 
-def _bloom_build_pdf(pdf):
-    """Grouped-map kernel: one file's (h1, h2) rows -> one bloom row.
-    Arrow-batched; numpy bit ops only (no per-row Python)."""
-    import numpy as np
-    import pandas as pd
+# Result schema of the bloom BUILD job: descriptors only — the filter
+# words are written to their sidecar files EXECUTOR-SIDE inside the
+# kernel and never ride back to the driver (tests assert no "words"
+# column here; the pre-round-5 design collected every file's words —
+# O(new files × 1 MiB) driver memory on a huge bootstrap/compact).
+_BLOOM_BUILD_RESULT_SCHEMA = "_file string, ref string, m long, k int"
 
-    n = len(pdf)
-    m = min(BLOOM_MAX_BITS, max(256, ((n * BLOOM_BITS_PER_KEY + 63) // 64) * 64))
-    words = np.zeros(m // 64, dtype=np.uint64)
-    # reduce mod m first: partial sums stay < BLOOM_K*m ≤ 2^26, no overflow;
-    # numpy % with a positive divisor is non-negative = Spark pmod
-    h1 = pdf["_h1"].to_numpy(dtype=np.int64) % np.int64(m)
-    h2 = pdf["_h2"].to_numpy(dtype=np.int64) % np.int64(m)
-    for i in range(BLOOM_K):
-        pos = (h1 + np.int64(i) * h2) % np.int64(m)
-        np.bitwise_or.at(
-            words, pos >> 6, np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64))
+
+def _make_bloom_build_pdf(table_path: str, version: int):
+    """Grouped-map kernel factory: one file's (h1, h2) rows -> one
+    bloom SIDECAR written in the worker + one descriptor row back.
+
+    Arrow-batched; numpy bit ops only (no per-row Python).  The sidecar
+    write is atomic (tmp + os.replace) and its name is a deterministic
+    digest of the data file's bucket-dir/basename, so a speculated or
+    retried task rewrites the identical path with identical bytes —
+    idempotent.  ``table_path`` must be reachable from the executors
+    (on a cluster: a DFS/object-store mount), the same contract the
+    data-file writes already have."""
+
+    def _bloom_build_pdf(pdf):
+        import hashlib
+        import os as _os
+        import uuid as _uuid
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = len(pdf)
+        m = min(BLOOM_MAX_BITS, max(256, ((n * BLOOM_BITS_PER_KEY + 63) // 64) * 64))
+        words = np.zeros(m // 64, dtype=np.uint64)
+        # reduce mod m first: partial sums stay < BLOOM_K*m ≤ 2^26, no
+        # overflow; numpy % with a positive divisor = Spark pmod
+        h1 = pdf["_h1"].to_numpy(dtype=np.int64) % np.int64(m)
+        h2 = pdf["_h2"].to_numpy(dtype=np.int64) % np.int64(m)
+        for i in range(BLOOM_K):
+            pos = (h1 + np.int64(i) * h2) % np.int64(m)
+            np.bitwise_or.at(
+                words,
+                pos >> 6,
+                np.left_shift(np.uint64(1), (pos & 63).astype(np.uint64)),
+            )
+        fname = pdf["_file"].iloc[0]
+        # bucket-dir/basename identifies the data file within this
+        # commit (a dynamic partition write reuses the same part-file
+        # basename in every bucket directory, so the basename alone is
+        # ambiguous); digesting it gives a stable, collision-free
+        # sidecar name per (version, data file)
+        rel_id = "/".join(fname.rstrip("/").split("/")[-2:])
+        digest = hashlib.sha1(rel_id.encode()).hexdigest()[:16]
+        ref = _os.path.join(
+            "_meta", "blooms", f"v{version:08d}-{digest}.bloom.parquet"
         )
-    return pd.DataFrame(
-        {
-            "_file": [pdf["_file"].iloc[0]],
-            "m": [m],
-            "k": [BLOOM_K],
-            "words": [words.view(np.int64).tolist()],
-        }
-    )
+        final = _os.path.join(table_path, ref)
+        _os.makedirs(_os.path.dirname(final), exist_ok=True)
+        tmp = f"{final}.tmp.{_uuid.uuid4().hex[:8]}"
+        pq.write_table(
+            pa.table(
+                {
+                    "m": pa.array([int(m)], pa.int64()),
+                    "k": pa.array([BLOOM_K], pa.int32()),
+                    "words": pa.array(
+                        [words.view(np.int64)], pa.list_(pa.int64())
+                    ),
+                }
+            ),
+            tmp,
+        )
+        _os.replace(tmp, final)
+        return pd.DataFrame(
+            {"_file": [fname], "ref": [ref], "m": [m], "k": [BLOOM_K]}
+        )
+
+    return _bloom_build_pdf
 
 
 # Sidecars are one-row parquet files (m, k, words) — the merge-time
@@ -303,13 +358,26 @@ def _footer_stats(path: str, key: str | None) -> tuple[int, str | None, str | No
     return rows, mn, mx
 
 
-def _distinct_bucket_rows(files: list["FileEntry"]) -> int:
-    """Approximate table rows from file entries.  Since round 4,
-    FileEntry.rows is the exact PER-FILE footer count, so the estimate
-    is a plain sum; entries written by the earlier bucket-level scheme
-    (rows repeated on each file of a bucket+commit) would overcount
-    here, but no live table predates the footer-stats writer."""
-    return sum(f.rows for f in files if f.rows and f.rows > 0)
+# Snapshot row-stats scheme versions.  1 (implicit, pre-footer-stats):
+# FileEntry.rows was the BUCKET-level count per commit, repeated on each
+# file of that bucket+commit.  2: rows is the exact per-file parquet
+# footer count.  Commits stamp the CURRENT version; a manifest missing
+# the stamp is read with the old-scheme dedup so stale snapshots can't
+# inflate rebucket advisories.
+STATS_FILE_ROWS = 2
+
+
+def _distinct_bucket_rows(files: list["FileEntry"], stats_version: int = 1) -> int:
+    """Approximate table rows from file entries, honouring the
+    manifest's declared stats scheme (see STATS_FILE_ROWS)."""
+    if stats_version >= STATS_FILE_ROWS:
+        return sum(f.rows for f in files if f.rows and f.rows > 0)
+    # old scheme: rows repeated per file of a bucket+commit — dedup on
+    # (commit dir, bucket) before summing
+    seen: dict[tuple[str, int], int] = {}
+    for f in files:
+        seen[(os.path.dirname(f.path), f.bucket)] = f.rows
+    return sum(r for r in seen.values() if r and r > 0)
 
 
 class LakeTable:
@@ -450,6 +518,11 @@ class LakeTable:
         first → optimistic-concurrency conflict surfaces as an error
         instead of silent overwrite (POSIX rename would overwrite).
         """
+        # stamp the row-stats scheme for NEW snapshots; snapshots that
+        # arrive pre-stamped (rollback carrying an old manifest) keep
+        # their original declaration so the reader picks the right
+        # row-count interpretation
+        snapshot.setdefault("stats_version", STATS_FILE_ROWS)
         tmp = self._snap_path(version) + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             json.dump(snapshot, fh)
@@ -499,7 +572,11 @@ class LakeTable:
         return df.select(*[f.name for f in schema.fields if not is_meta(f.name)])
 
     def _files_for_keys(
-        self, spark: SparkSession, keys: list, snap: dict[str, Any]
+        self,
+        spark: SparkSession,
+        keys: list,
+        snap: dict[str, Any],
+        probe_blooms: bool = True,
     ) -> list[FileEntry]:
         """Driver-side file pruning for a point-key lookup: bucket +
         min/max range + (when sidecars exist) bloom membership.  The
@@ -546,7 +623,11 @@ class LakeTable:
             ]
             if not cands:
                 continue
-            words = _usable_bloom_words(self.path, f.bloom) if f.bloom else None
+            words = (
+                _usable_bloom_words(self.path, f.bloom)
+                if (probe_blooms and f.bloom)
+                else None
+            )
             if words is None:
                 out.append(f)  # no usable sidecar → range result stands
                 continue
@@ -583,12 +664,33 @@ class LakeTable:
         (/root/reference/src/core/logic/initiative_handlers.py:54-106)
         are point reads of exactly this shape."""
         snap = self.snapshot(version)
-        assert snap["key_col"] is not None, "read_keys requires a keyed table"
+        if snap["key_col"] is None:
+            # ValueError, not assert: asserts vanish under `python -O`
+            # and the failure would then surface as an opaque
+            # StructType[None] error deep in the scan
+            raise ValueError("read_keys requires a keyed table")
         schema = StructType.fromJson(snap["schema"])
-        files = self._files_for_keys(spark, list(keys), snap) if keys else []
-        df = self._scan(spark, files, schema).filter(
-            F.col(snap["key_col"]).isin(list(keys))
+        keys = list(keys)
+        files = (
+            self._files_for_keys(
+                spark, keys, snap, probe_blooms=len(keys) <= READ_KEYS_ISIN_MAX
+            )
+            if keys
+            else []
         )
+        df = self._scan(spark, files, schema)
+        if len(keys) > READ_KEYS_ISIN_MAX:
+            # point-lookup misuse guard: a giant isin() literal list
+            # blows up the plan (and the per-key driver bloom loop is
+            # O(keys × files)); degrade to a broadcast semi-join, which
+            # is the right plan shape for bulk key sets anyway
+            key_field = schema[snap["key_col"]]
+            lk = spark.createDataFrame(
+                [(k,) for k in keys], StructType([key_field])
+            )
+            df = df.join(F.broadcast(lk), snap["key_col"], "semi")
+        else:
+            df = df.filter(F.col(snap["key_col"]).isin(keys))
         if include_meta:
             return df
         return self._strip_meta(df, schema)
@@ -891,12 +993,16 @@ class LakeTable:
         One extra Spark job whose input is ONLY the key column of the
         new files (column-pruned scan, grouped by ``input_file_name``,
         numpy bit-set kernel per file via applyInPandas) — distributed
-        and O(written rows), never a driver-side data decode.  Returns
+        and O(written rows), never a driver-side data decode.  The
+        sidecar parquet files are written EXECUTOR-SIDE inside the
+        kernel (atomic, idempotent under task retry); the driver
+        collects only {_file, ref, m, k} descriptor rows — O(new files
+        × ~100 B), never the filter words (which would be O(new files
+        × 1 MiB) on a big bootstrap/compact).  Returns
         {"<bucket dir>/<basename>": bloom descriptor} — a dynamic
         partition write reuses the SAME part-file basename in every
         bucket directory, so the basename alone is ambiguous."""
-        import numpy as np
-
+        os.makedirs(os.path.join(self.path, "_meta", "blooms"), exist_ok=True)
         h1, h2 = _bloom_hash_exprs(key)
         per = (
             spark.read.option("basePath", out_dir)
@@ -906,39 +1012,16 @@ class LakeTable:
         rows = (
             per.groupBy("_file")
             .applyInPandas(
-                _bloom_build_pdf, schema="_file string, m long, k int, words array<long>"
+                _make_bloom_build_pdf(self.path, version),
+                schema=_BLOOM_BUILD_RESULT_SCHEMA,
             )
             .collect()
         )
-        blooms_dir = os.path.join(self.path, "_meta", "blooms")
-        os.makedirs(blooms_dir, exist_ok=True)
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         out: dict[str, dict[str, Any]] = {}
         for r in rows:
-            # one-row parquet sidecar: the merge-time probe scans these
-            # JVM-side, so the bloom words never round-trip through the
-            # Python driver on the hot path
-            ref = os.path.join(
-                "_meta", "blooms", f"v{version:08d}-{uuid.uuid4().hex[:8]}.bloom.parquet"
-            )
-            pq.write_table(
-                pa.table(
-                    {
-                        "m": pa.array([int(r["m"])], pa.int64()),
-                        "k": pa.array([int(r["k"])], pa.int32()),
-                        "words": pa.array(
-                            [np.asarray(r["words"], dtype=np.int64)],
-                            pa.list_(pa.int64()),
-                        ),
-                    }
-                ),
-                os.path.join(self.path, ref),
-            )
             parts = r["_file"].rstrip("/").split("/")
             out["/".join(parts[-2:])] = {
-                "ref": ref,
+                "ref": r["ref"],
                 "m": int(r["m"]),
                 "k": int(r["k"]),
             }
@@ -1110,7 +1193,7 @@ class LakeTable:
                 "target_rows_per_bucket", DEFAULT_TARGET_ROWS_PER_BUCKET
             )
         )
-        est_rows = _distinct_bucket_rows(files)
+        est_rows = _distinct_bucket_rows(files, int(snap.get("stats_version", 1)))
         if est_rows > snap["bucket_count"] * target_rpb:
             summary["rebucket_recommended"] = recommended_bucket_count(
                 est_rows, target_rpb

@@ -303,3 +303,65 @@ def test_probe_plan_broadcasts_and_avoids_cartesian(spark, tmp_table_dir):
     plan = captured[-1]
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_build_collects_descriptors_not_words(spark, tmp_table_dir):
+    """The build job must never ship filter words to the driver: the
+    sidecars are written executor-side inside the applyInPandas kernel
+    and the driver collects only {_file, ref, m, k} descriptor rows
+    (O(100 B)/file instead of O(1 MiB)/file on a big bootstrap)."""
+    from horizon_etl_spark.tables.lake import _BLOOM_BUILD_RESULT_SCHEMA
+
+    assert "words" not in _BLOOM_BUILD_RESULT_SCHEMA
+    collected_cols = []
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDF
+
+    orig = ClassicDF.collect
+
+    def spy(self):
+        collected_cols.append(list(self.columns))
+        return orig(self)
+
+    ClassicDF.collect = spy
+    try:
+        t = _mk_table(tmp_table_dir, "t")
+        t.merge(_batch(spark, 0, 300, 1))
+    finally:
+        ClassicDF.collect = orig
+    build_rows = [c for c in collected_cols if "ref" in c and "_file" in c]
+    assert build_rows, "bloom build job did not run"
+    assert all("words" not in c for c in collected_cols)
+    # and the executor-written sidecars are real + probeable
+    from horizon_etl_spark.tables.lake import _usable_bloom_words
+
+    files = _files(t)
+    assert files and all(f.bloom for f in files)
+    for f in files:
+        assert os.path.exists(os.path.join(t.path, f.bloom["ref"]))
+        assert _usable_bloom_words(t.path, f.bloom) is not None
+
+
+def test_read_keys_bulk_fallback_broadcast_semi_join(spark, tmp_table_dir):
+    """Beyond READ_KEYS_ISIN_MAX keys the point-lookup degrades
+    gracefully: broadcast semi-join instead of a giant isin() literal,
+    range-only pruning instead of the per-key driver bloom loop."""
+    t = _mk_table(tmp_table_dir, "t", buckets=4)
+    t.merge(_batch(spark, 0, 2000, 1))
+    keys = [f"k{i:06d}" for i in range(50_000)]  # 2k present, 48k absent
+    df = t.read_keys(spark, keys)
+    assert df.count() == 2000
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # small lists keep the literal-pushdown point plan
+    small = t.read_keys(spark, ["k000010"])
+    assert small.count() == 1
+    assert "LeftSemi" not in small._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_keys_unkeyed_table_raises(spark, tmp_table_dir):
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "nk"), SCHEMA, key_col=None, bucket_count=1
+    )
+    with pytest.raises(ValueError, match="keyed table"):
+        t.read_keys(spark, ["k000001"])

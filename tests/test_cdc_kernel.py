@@ -163,3 +163,26 @@ def test_vocab_range_validation(spark):
     # default (no vocab): out-of-range rows are NOT quarantined
     valid2, quar2 = split_valid(df, fields_col="fields")
     assert quar2.count() == 0 and valid2.count() == 5
+
+
+def test_feed_defeats_partial_agg_single_key_only(spark):
+    """The plan-level skew predictor must fire for a feed already
+    hash-partitioned on exactly the key (no pre-agg Exchange → no
+    map-side combine) and must NOT fire for multi-column
+    hashpartitioning (the agg still gets its own Exchange there)."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc.apply import _feed_defeats_partial_agg
+
+    df = spark.range(100).select(
+        F.format_string("d%03d", F.pmod("id", F.lit(7))).alias("doc_id"),
+        F.col("id").alias("lsn"),
+    )
+    assert _feed_defeats_partial_agg(df.repartition(8, F.col("doc_id")), "doc_id")
+    assert not _feed_defeats_partial_agg(
+        df.repartition(8, F.col("doc_id"), F.col("lsn")), "doc_id"
+    )
+    assert not _feed_defeats_partial_agg(
+        df.repartition(8, F.col("lsn"), F.col("doc_id")), "doc_id"
+    )
+    assert not _feed_defeats_partial_agg(df, "doc_id")  # round-robin

@@ -426,3 +426,43 @@ def test_read_appends_rejects_rewrites(spark, tmp_table_dir):
     t.merge(batch_df(spark, [("update", "a", 2, [2], "wiki")]))
     with pytest.raises(ValueError, match="change-log"):
         t.read_appends(spark, v1)
+
+
+def test_distinct_bucket_rows_honours_stats_version():
+    """Pre-footer-stats manifests (no stats_version stamp) repeated the
+    BUCKET-level count on every file of a bucket+commit; reading one
+    with a plain sum would inflate rebucket advisories.  The reader
+    must dedup per (commit dir, bucket) for scheme 1 and plain-sum for
+    scheme 2."""
+    from horizon_etl_spark.tables.lake import (
+        STATS_FILE_ROWS,
+        FileEntry,
+        _distinct_bucket_rows,
+    )
+
+    old = [  # two files of one bucket+commit, rows repeated (scheme 1)
+        FileEntry("data/v2/bucket=0/part-a.parquet", 0, 100, None, None),
+        FileEntry("data/v2/bucket=0/part-b.parquet", 0, 100, None, None),
+        FileEntry("data/v2/bucket=1/part-a.parquet", 1, 40, None, None),
+    ]
+    assert _distinct_bucket_rows(old, stats_version=1) == 140
+    new = [  # exact per-file counts (scheme 2)
+        FileEntry("data/v2/bucket=0/part-a.parquet", 0, 60, None, None),
+        FileEntry("data/v2/bucket=0/part-b.parquet", 0, 40, None, None),
+    ]
+    assert _distinct_bucket_rows(new, stats_version=STATS_FILE_ROWS) == 100
+    # unstamped manifests default to the conservative old scheme
+    assert _distinct_bucket_rows(old) == 140
+
+
+def test_commits_stamp_stats_version(spark, tmp_table_dir):
+    from horizon_etl_spark.tables.lake import STATS_FILE_ROWS, LakeTable
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "sv"),
+        StructType([StructField("k", StringType(), False), StructField("v", LongType(), True)]),
+        key_col="k",
+        bucket_count=2,
+    )
+    assert t.snapshot()["stats_version"] == STATS_FILE_ROWS

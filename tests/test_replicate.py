@@ -207,3 +207,38 @@ def test_replica_unknown_column_hard_fails_without_manifest_schema(
     # a re-publish flow with the manifest schema recovers the SAME deltas
     # is covered by the evolution test; here we just assert no divergence
     assert "langs" not in [f.name for f in replica.schema().fields]
+
+def test_gap_in_delta_chain_hard_fails(spark, tmp_table_dir):
+    """A delta artifact missing from the MIDDLE of the pending chain
+    (deleted/GC'd exports dir) must raise, not be silently skipped with
+    the cursor advancing past it — that would be permanent divergence,
+    the same failure class as the unknown-column guard."""
+    import shutil
+
+    feed = _attr_feed(spark, 1200, 100, seed=47, batches=3)
+    pipe = CdcPipeline.create(
+        os.path.join(tmp_table_dir, "primary"), bucket_count=4, attr_lww=True
+    )
+    out = os.path.join(tmp_table_dir, "exports")
+    replica = LakeTable.create(
+        os.path.join(tmp_table_dir, "replica"),
+        S.TARGET_SCHEMA,
+        key_col="doc_id",
+        bucket_count=4,
+        attr_lww=True,
+    )
+    deltas = []
+    for b in range(3):
+        apply_batch(pipe, feed.filter(F.col("batch") == b).drop("batch"), batch_id=b)
+        r = export_changes(spark, pipe.change_log, out, "changes")
+        deltas.append(r)
+    # consume the first delta, then lose the SECOND from the chain
+    replica.set_props({"outbox_applied_to": deltas[0]["to_version"]})
+    middle = f"changes_{deltas[1]['from_version']:08d}_{deltas[1]['to_version']:08d}"
+    os.unlink(os.path.join(out, middle))
+    v = replica.current_version()
+    with pytest.raises(ValueError, match="gap"):
+        replicate_from_outbox(spark, out, "changes", replica)
+    # nothing applied, cursor unchanged
+    assert replica.current_version() == v
+    assert int(replica.props["outbox_applied_to"]) == deltas[0]["to_version"]

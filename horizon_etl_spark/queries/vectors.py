@@ -356,7 +356,11 @@ def label_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_probe(
-    spark: SparkSession, sf_dir: str, num_cells: int = 16, nprobe: int = 6
+    spark: SparkSession,
+    sf_dir: str,
+    num_cells: int = 16,
+    nprobe: int = 6,
+    cell_chunk: int = 4096,
 ) -> DataFrame:
     """IVF coarse quantize + probe: ``num_cells`` deterministic seed
     vectors (the first vec_ids) act as centroids; every vector is
@@ -365,15 +369,21 @@ def ivf_probe(
     The inverted-list scan is an equi-join on cell id — the standard
     billion-scale ANN layout (cells ≈ √N, probe a few).
 
-    Scale path: the assignment is a single Arrow-batched numpy matmul
+    Scale path: the assignment is an Arrow-batched numpy matmul
     against the broadcast seed matrix (argsort top-n per row) — no
     crossJoin row blowup (the previous crossJoin(broadcast(seeds))
     multiplied the table num_cells× before the argmax window; at
     cells≈√N that was the scale-killer k-means-assign shape).  The seed
     matrix is O(num_cells·dim) and ships in the UDF closure, same slot
-    as the LSH hyperplanes; at very large num_cells chunk the matmul
-    over cell blocks inside the same UDF.  Measured recall@5 vs brute
-    force at sf0.001 is gated in tests/test_ann_quality.py."""
+    as the LSH hyperplanes; the matmul is CHUNKED over ``cell_chunk``
+    cell blocks with a running per-row top-``nprobe`` merge, so the
+    (batch × num_cells) similarity intermediate never materializes at
+    large num_cells — peak extra memory is
+    O(batch × (cell_chunk + nprobe)) regardless of cell count.
+    Chunked and unchunked paths are bit-identical (ties break by
+    ascending cell id; tests force cell_chunk < num_cells and assert
+    equality).  Measured recall@5 vs brute force at sf0.001 is gated in
+    tests/test_ann_quality.py."""
     import numpy as np
 
     from pyspark.sql.functions import pandas_udf
@@ -388,17 +398,34 @@ def ivf_probe(
     seed_ids = np.array([r["vec_id"] for r in seed_rows], dtype="int64")
     seed_mat = np.vstack([np.asarray(r["_v"], dtype="float64") for r in seed_rows])
     seed_mat = seed_mat / np.array([[r["_norm"]] for r in seed_rows])
+    chunk = max(1, int(cell_chunk))
 
     @pandas_udf("array<long>")
     def nearest_cells(vs):
         import pandas as pd
 
         mat = np.vstack(vs.map(lambda v: np.asarray(v, dtype="float64")))
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        sims = (mat / norms) @ seed_mat.T  # (batch, num_cells)
-        # stable sort on -sim: equal-sim ties break by ascending cell id
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([[int(seed_ids[j]) for j in row] for row in order])
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        n = mat.shape[0]
+        # running top-nprobe per row, merged chunk by chunk.  Tie-break
+        # invariant: within any equal-sim group the kept entries are in
+        # ascending seed-index order — true inductively because chunks
+        # ascend in seed index and the stable argsort keeps earlier
+        # (lower-index) entries first.
+        best_sims = np.full((n, 0), -np.inf)
+        best_idx = np.zeros((n, 0), dtype="int64")
+        for lo in range(0, seed_mat.shape[0], chunk):
+            sims_c = mat @ seed_mat[lo : lo + chunk].T  # (batch, chunk)
+            idx_c = np.broadcast_to(
+                np.arange(lo, lo + sims_c.shape[1], dtype="int64"), sims_c.shape
+            )
+            cat_sims = np.concatenate([best_sims, sims_c], axis=1)
+            cat_idx = np.concatenate([best_idx, idx_c], axis=1)
+            order = np.argsort(-cat_sims, axis=1, kind="stable")[:, :nprobe]
+            rows = np.arange(n)[:, None]
+            best_sims = cat_sims[rows, order]
+            best_idx = cat_idx[rows, order]
+        return pd.Series([[int(seed_ids[j]) for j in row] for row in best_idx])
 
     ranked = e.withColumn("_cells", nearest_cells(F.col("_v")))
     assigned = ranked.select(

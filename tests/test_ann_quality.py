@@ -108,3 +108,17 @@ def test_topk_shape(spark):
         bad = per_q.filter((F.col("k") > 5) | (F.col("k") != F.col("d"))).count()
         assert bad == 0, name
         assert df.filter(F.col("qid") == F.col("nid")).count() == 0, name
+
+def test_ivf_chunked_assignment_is_bit_identical(spark):
+    """Forcing cell_chunk < num_cells (the bounded-memory path for very
+    large cell counts) must produce EXACTLY the unchunked probe result:
+    the running top-nprobe merge preserves the ascending-cell-id
+    tie-break, so chunk size is a memory knob, never a semantics knob."""
+    from horizon_etl_spark.queries.vectors import ivf_probe
+
+    base = sorted(map(tuple, ivf_probe(spark, SF_DIR).collect()))
+    for chunk in (1, 3, 7):
+        got = sorted(
+            map(tuple, ivf_probe(spark, SF_DIR, cell_chunk=chunk).collect())
+        )
+        assert got == base, f"cell_chunk={chunk} diverged"

@@ -119,8 +119,10 @@ def test_orchestrated_phases_and_crash_containment(spark, tmp_path):
     with open(blocker, "w") as fh:
         fh.write("x")
     version_before = pipe.target.current_version()
+    alerts_path = os.path.join(scratch, "alerts.jsonl")
     rc2, phases2 = _orchestrate(
-        [*common, "--export-out", os.path.join(blocker, "exports")],
+        [*common, "--export-out", os.path.join(blocker, "exports"),
+         "--notify", f"file:{alerts_path}"],
         cwd=scratch,
     )
     assert rc2 != 0
@@ -133,3 +135,9 @@ def test_orchestrated_phases_and_crash_containment(spark, tmp_path):
     # containment: the failed export corrupted nothing
     assert CdcPipeline.load(root).target.current_version() == version_before
     assert_frames_equal(CdcPipeline.load(root).target.read(spark), oracle)
+    # the operator was alerted with the phase evidence attached
+    alerts = [json.loads(l) for l in open(alerts_path).read().splitlines()]
+    assert len(alerts) == 1
+    assert alerts[0]["event"] == "phase_failed"
+    assert alerts[0]["phase"] == "export" and alerts[0]["exit_code"] != 0
+    assert alerts[0]["stderr_tail"]

@@ -63,6 +63,15 @@ def parse_args(argv):
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--conf", action="append", default=[])
     ap.add_argument(
+        "--notify",
+        action="append",
+        default=[],
+        help="operator alert channel(s): stdout | file:<path> | "
+        "webhook:<url>; fired on phase failure and on report-level "
+        "warnings (reference: src/notifications/telegram.py wired into "
+        "flow tails)",
+    )
+    ap.add_argument(
         "--py-files",
         default=None,
         help="engine zip; built into dist/ if omitted",
@@ -71,7 +80,16 @@ def parse_args(argv):
     return ap.parse_args(argv)
 
 
-def run_phase(name, script_args, args):
+def _notifier(args):
+    # lazy import: the orchestrator runs with the repo on sys.path OR
+    # with only the engine zip; either provides the package
+    sys.path.insert(0, REPO)
+    from horizon_etl_spark.notify import build_notifier
+
+    return build_notifier(args.notify)
+
+
+def run_phase(name, script_args, args, notifier=None):
     spark_submit = os.path.join(
         os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
     )
@@ -95,8 +113,12 @@ def run_phase(name, script_args, args):
             evidence["result"] = None
     else:
         evidence["stderr_tail"] = proc.stderr[-2000:]
+        if notifier is not None:
+            from horizon_etl_spark.notify import phase_failed_event
+
+            notifier.notify(phase_failed_event(evidence))
     print(json.dumps(evidence), flush=True)
-    return proc.returncode
+    return proc.returncode, evidence
 
 
 def main(argv=None) -> int:
@@ -118,7 +140,8 @@ def main(argv=None) -> int:
     ]
     if args.with_rollup:
         ingest.append("--with-rollup")
-    rc = run_phase("ingest", ingest, args)
+    notifier = _notifier(args)
+    rc, _ev = run_phase("ingest", ingest, args, notifier)
     if rc != 0:
         return rc
 
@@ -130,12 +153,12 @@ def main(argv=None) -> int:
         ]
         if args.filtered_by:
             export += ["--filtered-by", args.filtered_by]
-        rc = run_phase("export", export, args)
+        rc, _ev = run_phase("export", export, args, notifier)
         if rc != 0:
             return rc
 
         if args.export_changes:
-            rc = run_phase(
+            rc, _ev = run_phase(
                 "export_changes",
                 [
                     os.path.join(REPO, "tools", "job_export.py"),
@@ -144,18 +167,20 @@ def main(argv=None) -> int:
                     "--changes",
                 ],
                 args,
+                notifier,
             )
             if rc != 0:
                 return rc
 
     if args.maintain:
-        rc = run_phase(
+        rc, _ev = run_phase(
             "maintain",
             [
                 os.path.join(REPO, "tools", "job_maintain.py"),
                 "--pipeline-root", args.pipeline_root,
             ],
             args,
+            notifier,
         )
         if rc != 0:
             return rc
@@ -163,7 +188,7 @@ def main(argv=None) -> int:
     if args.report_out is not None:
         # the reference's flow always ends by writing its report
         # artifact (etl_flow_reporter.write); same final-phase slot here
-        rc = run_phase(
+        rc, report_ev = run_phase(
             "report",
             [
                 os.path.join(REPO, "tools", "job_report.py"),
@@ -171,10 +196,32 @@ def main(argv=None) -> int:
                 "--out", args.report_out,
             ],
             args,
+            notifier,
         )
         if rc != 0:
             return rc
+        route_report_warnings(
+            ((report_ev.get("result") or {}).get("report")), notifier
+        )
     return 0
+
+
+def route_report_warnings(report_path, notifier) -> int:
+    """Route report-level warnings (``quarantine_backlog``,
+    ``duplicate_count_*``, ``tracking_runs_not_successful``, step
+    diffs) to the operator channel — a weekly pipeline failing SILENTLY
+    until someone reads a JSON artifact is the gap this closes
+    (reference: telegram.py run summaries fired from flow tails).
+    Returns the number of warnings routed."""
+    from horizon_etl_spark.notify import report_warning_events
+
+    if not (report_path and os.path.exists(report_path)):
+        return 0
+    with open(report_path) as fh:
+        events = report_warning_events(json.load(fh))
+    for event in events:
+        notifier.notify(event)
+    return len(events)
 
 
 if __name__ == "__main__":

@@ -26,5 +26,6 @@ from horizon_etl_spark.queries import vectors  # noqa: E402,F401
 from horizon_etl_spark.queries import multimodal  # noqa: E402,F401
 from horizon_etl_spark.queries import text  # noqa: E402,F401
 from horizon_etl_spark.queries import relational  # noqa: E402,F401
+from horizon_etl_spark.queries import graph  # noqa: E402,F401
 from horizon_etl_spark.queries import matching  # noqa: E402,F401
 from horizon_etl_spark.queries import scalars  # noqa: E402,F401

@@ -1,0 +1,144 @@
+"""Multi-relationship graph (reference: people_relationship_graph_
+generator.py — three relationship families merged into one weighted
+multigraph with per-type edge counters and degree rollups)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def families(spark):
+    from horizon_etl_spark.queries.graph import relationship_families
+
+    return relationship_families(spark, SF_DIR).persist()
+
+
+def test_cosupply_family_matches_single_family_generator(spark, families):
+    """The 'cosupply' family must equal the standalone cosupply edge
+    generator (namespaced) — the multi-family path changes breadth,
+    never single-family semantics."""
+    from horizon_etl_spark.queries.relational import cosupply_edges
+
+    fam = {
+        (r["src"], r["dst"], r["w"])
+        for r in families.filter(F.col("rel_type") == "cosupply").collect()
+    }
+    single = {
+        (f"S{r['sa']}", f"S{r['sb']}", r["w"])
+        for r in cosupply_edges(spark, SF_DIR).collect()
+    }
+    assert fam == single and fam
+
+
+def test_merged_edges_carry_types_and_conserve_weight(spark, families):
+    from horizon_etl_spark.queries.graph import (
+        RELATION_TYPES,
+        relationship_edges,
+    )
+
+    e = relationship_edges(spark, SF_DIR).persist()
+    try:
+        # weight conservation: merged total == sum of family weights
+        fam_w = families.agg(F.sum("w")).collect()[0][0]
+        assert e.agg(F.sum("weight")).collect()[0][0] == fam_w
+        # per-type counters sum to the total weight on every edge, and
+        # relation_types lists exactly the types with a nonzero counter
+        bad = e.filter(
+            sum(F.col(f"{t}_count") for t in RELATION_TYPES) != F.col("weight")
+        ).count()
+        assert bad == 0
+        for r in e.sample(0.05, seed=7).collect():
+            expect = sorted(
+                t for t in RELATION_TYPES if r[f"{t}_count"] > 0
+            )
+            assert sorted(r["relation_types"]) == expect
+            assert len(r["relation_types"]) == r["n_types"]
+        # the breadth exists: some supplier pair carries >= 2 relation
+        # types (co-supplying an order AND a part)
+        assert e.filter(F.col("n_types") >= 2).count() > 0
+        # trade edges are bipartite C->S
+        trade = e.filter(F.col("trade_count") > 0)
+        assert trade.filter(
+            ~(F.col("src").startswith("C") & F.col("dst").startswith("S"))
+        ).count() == 0
+    finally:
+        e.unpersist()
+
+
+def test_degree_rollup_invariants(spark):
+    from horizon_etl_spark.queries.graph import (
+        relationship_degrees,
+        relationship_edges,
+    )
+
+    e = relationship_edges(spark, SF_DIR)
+    deg = relationship_degrees(spark, SF_DIR).persist()
+    try:
+        n_edges = e.count()
+        total_w = e.agg(F.sum("weight")).collect()[0][0]
+        sums = deg.agg(
+            F.sum("degree").alias("d"), F.sum("weighted_degree").alias("wd")
+        ).collect()[0]
+        # handshake lemma on the merged simple graph
+        assert sums["d"] == 2 * n_edges
+        assert sums["wd"] == 2 * total_w
+        kinds = {r["kind"] for r in deg.select("kind").distinct().collect()}
+        assert kinds == {"supplier", "customer"}
+    finally:
+        deg.unpersist()
+
+
+def test_summary_row_consistency(spark):
+    """The driver row's 'all' entry must reconcile with the families:
+    merged edges <= sum of family edges (pairs collapse), identical
+    total weight, and a multi-type edge count matching the merged
+    frame."""
+    from horizon_etl_spark.queries import QUERIES
+    from horizon_etl_spark.queries.graph import relationship_edges
+
+    rows = {
+        r["rel_type"]: r
+        for r in QUERIES["relationship_graph_summary"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"cosupply", "copart", "trade", "all"}
+    fam_edges = sum(rows[t]["n_edges"] for t in ("cosupply", "copart", "trade"))
+    fam_w = sum(rows[t]["total_weight"] for t in ("cosupply", "copart", "trade"))
+    assert rows["all"]["n_edges"] <= fam_edges
+    assert rows["all"]["total_weight"] == fam_w
+    assert rows["all"]["multi_type_edges"] == fam_edges - rows["all"]["n_edges"]
+    merged = relationship_edges(spark, SF_DIR)
+    assert rows["all"]["multi_type_edges"] == merged.filter(
+        F.col("n_types") >= 2
+    ).count()
+    for t in ("cosupply", "copart", "trade"):
+        assert rows[t]["multi_type_edges"] == 0
+        assert rows[t]["degree_md5"] and len(rows[t]["degree_md5"]) == 32
+
+
+def test_relationship_graph_export_artifact(spark, tmp_path):
+    """The published nodes/edges artifact carries the edge `type`
+    payload (relation_types + per-family counters) — the reference's
+    graph JSON edge attrs — behind the atomic symlink publish."""
+    from horizon_etl_spark.exports import export_manifest
+    from horizon_etl_spark.queries.graph import export_relationship_graph
+
+    out = os.path.join(tmp_path, "exports")
+    res = export_relationship_graph(spark, SF_DIR, out, source_version=3)
+    link = os.path.join(out, "relationship_graph")
+    assert os.path.islink(link)
+    edges = spark.read.parquet(os.path.join(link, "edges"))
+    nodes = spark.read.parquet(os.path.join(link, "nodes"))
+    for col in ("cosupply_count", "copart_count", "trade_count",
+                "weight", "relation_types"):
+        assert col in edges.columns
+    assert {"node", "kind", "degree", "weighted_degree"} <= set(nodes.columns)
+    man = export_manifest(out, "relationship_graph")
+    assert man["kind"] == "graph" and man["source_version"] == 3
+    assert man["n_nodes"] == res["n_nodes"] == nodes.count()
+    assert man["n_edges"] == res["n_edges"] == edges.count()
+    # multi-type breadth survives the round trip
+    assert edges.filter(F.size("relation_types") >= 2).count() > 0

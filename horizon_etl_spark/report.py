@@ -246,11 +246,19 @@ def write_report(report: dict[str, Any], out_dir: str) -> dict[str, str]:
     """Run-stamped + latest-pointer artifact pair, each written
     atomically (the reference's dual json/md layout,
     etl_flow_reporter.py:542-556)."""
+    return write_document_pair(report, _render_markdown(report), out_dir)
+
+
+def write_document_pair(
+    report: dict[str, Any], md: str, out_dir: str
+) -> dict[str, str]:
+    """Shared stamped+latest json/md publisher — the flow report and
+    the executive mart reports (report_exec.py) use the same layout, so
+    every report artifact in a deployment looks alike to operators."""
     os.makedirs(out_dir, exist_ok=True)
     stamp = report["generated_at"].replace(":", "").replace("-", "").split(".")[0]
     name = report["run_name"]
     js = json.dumps(report, indent=2, ensure_ascii=False, default=str)
-    md = _render_markdown(report)
     paths = {
         "json": os.path.join(out_dir, f"{name}_{stamp}.json"),
         "md": os.path.join(out_dir, f"{name}_{stamp}.md"),

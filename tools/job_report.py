@@ -40,6 +40,13 @@ def parse_args(argv):
         help="name=col1[,col2...]; default content_dups=tokens",
     )
     ap.add_argument("--last-runs", type=int, default=10)
+    ap.add_argument(
+        "--executive-sf-dir",
+        default=None,
+        help="also emit the executive mart report (report_exec.py, the "
+        "reference's generate_*-style template) over the relational "
+        "tables at this directory",
+    )
     return ap.parse_args(argv)
 
 
@@ -93,18 +100,24 @@ def main(argv=None) -> int:
         steps=steps,
     )
     paths = write_report(report, args.out)
-    print(
-        json.dumps(
-            {
-                "pipeline_root": args.pipeline_root,
-                "report": paths["latest_json"],
-                "tables": report["final_tables"],
-                "warnings": {
-                    k: len(v) for k, v in report["warnings_by_source"].items()
-                },
-            }
+    evidence = {
+        "pipeline_root": args.pipeline_root,
+        "report": paths["latest_json"],
+        "tables": report["final_tables"],
+        "warnings": {k: len(v) for k, v in report["warnings_by_source"].items()},
+    }
+    if args.executive_sf_dir:
+        from horizon_etl_spark.report_exec import (
+            executive_report,
+            write_executive_report,
         )
-    )
+
+        exec_doc = executive_report(
+            spark, args.executive_sf_dir, run_name=f"{args.name}_executive"
+        )
+        exec_paths = write_executive_report(exec_doc, args.out)
+        evidence["executive"] = exec_paths["latest_json"]
+    print(json.dumps(evidence))
     return 0
 
 

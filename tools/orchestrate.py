@@ -60,6 +60,12 @@ def parse_args(argv):
         default=None,
         help="emit the flow-report artifact (json+md) here as the final phase",
     )
+    ap.add_argument(
+        "--executive-sf-dir",
+        default=None,
+        help="with --report-out: also emit the executive mart report "
+        "(report_exec.py) over the relational tables at this directory",
+    )
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--conf", action="append", default=[])
     ap.add_argument(
@@ -188,16 +194,14 @@ def main(argv=None) -> int:
     if args.report_out is not None:
         # the reference's flow always ends by writing its report
         # artifact (etl_flow_reporter.write); same final-phase slot here
-        rc, report_ev = run_phase(
-            "report",
-            [
-                os.path.join(REPO, "tools", "job_report.py"),
-                "--pipeline-root", args.pipeline_root,
-                "--out", args.report_out,
-            ],
-            args,
-            notifier,
-        )
+        report_args = [
+            os.path.join(REPO, "tools", "job_report.py"),
+            "--pipeline-root", args.pipeline_root,
+            "--out", args.report_out,
+        ]
+        if args.executive_sf_dir:
+            report_args += ["--executive-sf-dir", args.executive_sf_dir]
+        rc, report_ev = run_phase("report", report_args, args, notifier)
         if rc != 0:
             return rc
         route_report_warnings(

@@ -340,6 +340,7 @@ def export_graph(
     out_dir: str,
     name: str,
     source_version: int | None = None,
+    extra_manifest: dict | None = None,
 ) -> dict:
     """Graph-shaped export artifact: the graph split into ``nodes/``
     and ``edges/`` zstd-Parquet tables with per-table ``.cols.json``
@@ -377,6 +378,7 @@ def export_graph(
             "n_edges": counts["edges"],
             "node_columns": nodes.columns,
             "edge_columns": edges.columns,
+            **(extra_manifest or {}),
         }
         with open(os.path.join(stage, "manifest.json"), "w") as fh:
             json.dump(manifest, fh, indent=2)

@@ -276,18 +276,39 @@ def export_relationship_graph(
     out_dir: str,
     name: str = "relationship_graph",
     source_version: int | None = None,
+    kind: str | None = None,
+    with_stats: bool = False,
 ) -> dict:
     """Publish the multigraph as the atomic nodes/edges Parquet pair
     (exports.export_graph) — edges carry ``relation_types`` plus
     per-family counts, nodes carry degree rollups, matching the
     reference's serialized graph payload (people_relationship_graph_
     generator.py:436-452 + export_parquet.py:31-80).  The family scan
-    is computed once and shared by both tables via persist."""
+    is computed once and shared by both tables via persist.
+
+    ``kind`` publishes the INDUCED subgraph of one node kind
+    ('supplier'/'customer': edges where both endpoints match, node
+    degrees recomputed within the subgraph) — the reference's
+    per-classification subgraph exports
+    (people_relationship_graph_generator.py:84-110,
+    `_build_classification_subgraph`).  ``with_stats`` folds the
+    graph-stats block into the manifest (full graph only)."""
     from horizon_etl_spark.exports import export_graph
 
-    edges = relationship_edges(spark, sf_dir).persist()
+    edges = relationship_edges(spark, sf_dir)
+    if kind is not None:
+        prefix = {"supplier": "S", "customer": "C"}[kind]
+        edges = edges.filter(
+            F.col("src").startswith(prefix) & F.col("dst").startswith(prefix)
+        )
+    edges = edges.persist()
     try:
         nodes = relationship_degrees(spark, sf_dir, edges=edges)
+        extra = {"node_kind": kind} if kind else None
+        if with_stats:
+            if kind is not None:
+                raise ValueError("with_stats is for the full graph export")
+            extra = {"graph_stats": graph_stats(spark, sf_dir)}
         return export_graph(
             spark,
             nodes,
@@ -295,6 +316,172 @@ def export_relationship_graph(
             out_dir,
             name,
             source_version=source_version,
+            extra_manifest=extra,
         )
+    finally:
+        edges.unpersist()
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components — alternating large-star /
+    small-star (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): O(log n) rounds of pure groupBy+join, no driver-side
+    graph, which is the shape that survives a 100 TB edge list (the
+    reference calls ``nx.connected_components`` on an in-memory graph,
+    people_relationship_graph_generator.py:456 — a single-process
+    ceiling this replaces).
+
+    Each round: large-star hangs every strictly-larger neighbor of u
+    under min(Γ(u) ∪ {u}); small-star re-hangs the smaller-or-equal
+    neighborhood the same way.  The edge set converges to a star
+    forest; iteration stops when the canonical edge set's
+    (count, order-free hash) is a fixed point — each round is
+    localCheckpoint'ed so the plan doesn't grow with iterations.
+
+    Returns (node, component) for EVERY node with at least one edge;
+    component = the minimum node id in the component (callers union in
+    isolated nodes as their own components)."""
+    u, v = F.col("u"), F.col("v")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(u != v)
+        .select(F.greatest(u, v).alias("u"), F.least(u, v).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        # decimal sum: a long sum of xxhash64 values overflows under
+        # ANSI mode (same pitfall as the bloom sketch hashes)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        sym = df.unionByName(df.select(v.alias("u"), u.alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(v > u)
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # canonical form already has u > v; min(N(u) ∪ {u}) == min(N(u))
+        m = df.groupBy("u").agg(F.min("v").alias("m"))
+        hang_neighbors = (
+            df.join(m, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        hang_self = m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            hang_neighbors.unionByName(hang_self)
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+    # star forest: every edge is (member, root) with root = min of the
+    # component; roots appear only on the v side
+    return e.select(u.alias("node"), v.alias("component")).unionByName(
+        e.select("v").distinct().select(v.alias("node"), v.alias("component"))
+    )
+
+
+def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """The reference's graph-stats block
+    (people_relationship_graph_generator.py:454-503): node/edge counts,
+    connected components + largest size, per-relation event totals and
+    edge presence, node-kind distribution, top-20 by weighted degree —
+    every number a bounded aggregate collect (the component step is the
+    distributed algorithm above, not an in-memory graph)."""
+    edges = relationship_edges(spark, sf_dir).persist()
+    try:
+        deg = relationship_degrees(spark, sf_dir, edges=edges).persist()
+        try:
+            totals_row = edges.agg(
+                F.count(F.lit(1)).alias("n_edges"),
+                *[
+                    F.sum(f"{t}_count").cast("long").alias(t)
+                    for t in RELATION_TYPES
+                ],
+                *[
+                    F.sum((F.col(f"{t}_count") > 0).cast("long"))
+                    .cast("long")
+                    .alias(f"{t}_presence")
+                    for t in RELATION_TYPES
+                ],
+            ).collect()[0]
+            comps = connected_components(spark, edges)
+            comp_sizes = comps.groupBy("component").agg(
+                F.count(F.lit(1)).alias("size")
+            )
+            comp_row = comp_sizes.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max("size"), F.lit(0)).alias("largest"),
+            ).collect()[0]
+            kind_rows = deg.groupBy("kind").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+            top = (
+                deg.orderBy(F.desc("weighted_degree"), F.asc("node"))
+                .limit(20)
+                .collect()
+            )
+            return {
+                "nodes": deg.count(),
+                "edges": totals_row["n_edges"],
+                # edge-derived graph: every node has >= 1 edge by
+                # construction (the reference counts isolates because it
+                # seeds nodes from the roster first)
+                "isolated_nodes": 0,
+                "connected_components": comp_row["n"],
+                "largest_component_size": comp_row["largest"],
+                "relation_event_totals": {
+                    t: totals_row[t] for t in RELATION_TYPES
+                },
+                "edge_relation_presence": {
+                    t: totals_row[f"{t}_presence"] for t in RELATION_TYPES
+                },
+                "kind_distribution": {r["kind"]: r["n"] for r in kind_rows},
+                "top_nodes_by_weighted_degree": [
+                    {
+                        "id": r["node"],
+                        "kind": r["kind"],
+                        "weighted_degree": r["weighted_degree"],
+                        "degree": r["degree"],
+                    }
+                    for r in top
+                ],
+            }
+        finally:
+            deg.unpersist()
     finally:
         edges.unpersist()

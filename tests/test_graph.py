@@ -142,3 +142,132 @@ def test_relationship_graph_export_artifact(spark, tmp_path):
     assert man["n_edges"] == res["n_edges"] == edges.count()
     # multi-type breadth survives the round trip
     assert edges.filter(F.size("relation_types") >= 2).count() > 0
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: every node -> min id of its component
+    out = {}
+    for x in list(parent):
+        r = find(x)
+        # min-id root is guaranteed by always hanging max under min
+        out[x] = r
+    return out
+
+
+def test_connected_components_synthetic(spark):
+    """Alternating large-star/small-star vs driver union-find on a
+    graph with known structure: two chains, a clique, a 2-node island,
+    adversarial id ordering."""
+    from horizon_etl_spark.queries.graph import connected_components
+
+    pairs = (
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(0, 40)]        # chain A
+        + [(f"m{i:03d}", f"m{i + 1:03d}") for i in range(50, 90)]     # chain B
+        + [(f"k{a}", f"k{b}") for a in range(5) for b in range(a)]    # clique
+        + [("zz1", "zz0")]                                            # island
+        + [("n000", "n020")]                                          # chord
+    )
+    expect = _union_find(pairs)
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(spark, df).collect()
+    }
+    assert got == expect
+    assert len(set(expect.values())) == 4  # chainA, chainB, clique, island
+
+
+def test_connected_components_on_relationship_graph(spark):
+    from horizon_etl_spark.queries.graph import (
+        connected_components,
+        relationship_edges,
+    )
+
+    e = relationship_edges(spark, SF_DIR)
+    pairs = [(r["src"], r["dst"]) for r in e.select("src", "dst").collect()]
+    expect = _union_find(pairs)
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(spark, e).collect()
+    }
+    assert got == expect
+
+
+def test_graph_stats_reconcile(spark):
+    from horizon_etl_spark.queries.graph import (
+        RELATION_TYPES,
+        graph_stats,
+        relationship_degrees,
+        relationship_edges,
+    )
+
+    stats = graph_stats(spark, SF_DIR)
+    e = relationship_edges(spark, SF_DIR).persist()
+    try:
+        assert stats["edges"] == e.count()
+        assert stats["nodes"] == relationship_degrees(
+            spark, SF_DIR, edges=e
+        ).count()
+        for t in RELATION_TYPES:
+            assert (
+                stats["relation_event_totals"][t]
+                == e.agg(F.sum(f"{t}_count")).collect()[0][0]
+            )
+            assert (
+                stats["edge_relation_presence"][t]
+                == e.filter(F.col(f"{t}_count") > 0).count()
+            )
+        assert sum(stats["kind_distribution"].values()) == stats["nodes"]
+        assert 1 <= stats["largest_component_size"] <= stats["nodes"]
+        assert stats["connected_components"] >= 1
+        top = stats["top_nodes_by_weighted_degree"]
+        assert len(top) == min(20, stats["nodes"])
+        wds = [t["weighted_degree"] for t in top]
+        assert wds == sorted(wds, reverse=True)
+    finally:
+        e.unpersist()
+
+
+def test_kind_subgraph_export_and_stats_manifest(spark, tmp_path):
+    """Per-kind induced subgraph (the reference's per-classification
+    graph exports) + graph_stats folded into the full graph's
+    manifest."""
+    from horizon_etl_spark.exports import export_manifest
+    from horizon_etl_spark.queries.graph import export_relationship_graph
+
+    out = os.path.join(tmp_path, "exports")
+    export_relationship_graph(
+        spark, SF_DIR, out, name="graph_full", with_stats=True
+    )
+    man = export_manifest(out, "graph_full")
+    assert man["graph_stats"]["nodes"] == man["n_nodes"]
+    assert man["graph_stats"]["edges"] == man["n_edges"]
+    assert man["graph_stats"]["connected_components"] >= 1
+
+    export_relationship_graph(spark, SF_DIR, out, name="graph_s", kind="supplier")
+    edges = spark.read.parquet(os.path.join(out, "graph_s", "edges"))
+    nodes = spark.read.parquet(os.path.join(out, "graph_s", "nodes"))
+    bad = edges.filter(
+        ~(F.col("src").startswith("S") & F.col("dst").startswith("S"))
+    ).count()
+    assert bad == 0 and edges.count() > 0
+    assert nodes.filter(F.col("kind") != "supplier").count() == 0
+    # induced: trade (C-S) edges are gone, so supplier degrees shrink
+    assert export_manifest(out, "graph_s")["node_kind"] == "supplier"
+    with pytest.raises(ValueError, match="full graph"):
+        export_relationship_graph(
+            spark, SF_DIR, out, name="x", kind="supplier", with_stats=True
+        )

@@ -30,6 +30,7 @@ import json
 import os
 import sys
 import time
+import urllib.error
 import urllib.request
 from typing import Any
 
@@ -87,24 +88,52 @@ class FileNotifier(Notifier):
 
 class WebhookNotifier(Notifier):
     """POST the event JSON — the reference bot's ``sendMessage`` POST
-    (telegram.py) generalized to any webhook receiver."""
+    (telegram.py) generalized to any webhook receiver.
+
+    Transient failures (connection errors, HTTP 429/5xx) retry with
+    backoff — the reference's source-adapter retry policy (3 attempts,
+    60 s + 120 s backoff on 429, README.md:333-346 /
+    sigpesq/adapter.py:98-136) scaled to alerting-appropriate delays.
+    Non-transient HTTP errors (4xx other than 429) fail immediately:
+    a misconfigured hook won't fix itself between attempts."""
 
     kind = "webhook"
 
-    def __init__(self, url: str, timeout: float = 10.0):
+    def __init__(
+        self,
+        url: str,
+        timeout: float = 10.0,
+        backoffs: tuple[float, ...] = (1.0, 2.0),
+    ):
         self.url = url
         self.timeout = timeout
+        self.backoffs = backoffs
 
-    def _deliver(self, event_json: str) -> None:
+    def _post_once(self, payload: bytes) -> None:
         req = urllib.request.Request(
             self.url,
-            data=event_json.encode("utf-8"),
+            data=payload,
             headers={"Content-Type": "application/json"},
             method="POST",
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             if resp.status >= 300:
                 raise RuntimeError(f"webhook returned {resp.status}")
+
+    def _deliver(self, event_json: str) -> None:
+        payload = event_json.encode("utf-8")
+        attempts = len(self.backoffs) + 1
+        for i in range(attempts):
+            try:
+                return self._post_once(payload)
+            except urllib.error.HTTPError as exc:
+                transient = exc.code == 429 or exc.code >= 500
+                if not transient or i == attempts - 1:
+                    raise
+            except (urllib.error.URLError, OSError):
+                if i == attempts - 1:
+                    raise
+            time.sleep(self.backoffs[i])
 
 
 class MultiNotifier(Notifier):

@@ -2,6 +2,7 @@
 generator.py — three relationship families merged into one weighted
 multigraph with per-type edge counters and degree rollups)."""
 
+import json
 import os
 
 import pytest
@@ -271,3 +272,37 @@ def test_kind_subgraph_export_and_stats_manifest(spark, tmp_path):
         export_relationship_graph(
             spark, SF_DIR, out, name="x", kind="supplier", with_stats=True
         )
+
+
+def test_job_graph_entrypoint(spark, tmp_path, capsys):
+    """The deployable graph bundle (reference generate_all: full graph
+    + one export per classification): evidence line reconciles with
+    the published manifests."""
+    import sys
+
+    from horizon_etl_spark.exports import export_manifest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import job_graph
+
+    out = os.path.join(tmp_path, "exports")
+    rc = job_graph.main(["--sf-dir", SF_DIR, "--out", out])
+    assert rc == 0
+    ev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    full = export_manifest(out, "relationship_graph")
+    assert ev["full"]["n_edges"] == full["n_edges"]
+    assert full["graph_stats"]["connected_components"] >= 1
+    for kind, prefix in (("supplier", "S"), ("customer", "C")):
+        assert kind in ev["kinds"]
+        man = export_manifest(out, f"relationship_graph_{kind}")
+        assert man["node_kind"] == kind
+        edges = spark.read.parquet(
+            os.path.join(out, f"relationship_graph_{kind}", "edges")
+        )
+        bad = edges.filter(
+            ~(F.col("src").startswith(prefix) & F.col("dst").startswith(prefix))
+        ).count()
+        assert bad == 0
+    # customer-only induced graph has no edges at all (every family is
+    # S-S or C-S) -> publishes an empty-but-valid artifact
+    assert ev["kinds"]["customer"]["n_edges"] == 0

@@ -153,3 +153,42 @@ def test_orchestrator_routes_report_warnings(tmp_path):
     # a missing / never-written report routes nothing and doesn't raise
     assert route_report_warnings(None, FileNotifier(alerts)) == 0
     assert route_report_warnings(os.path.join(tmp_path, "nope.json"), FileNotifier(alerts)) == 0
+
+
+def test_webhook_retries_transient_then_succeeds():
+    """429/5xx retry with backoff (reference retry policy: 3 attempts,
+    README.md:333-346); a 4xx misconfiguration fails without retrying."""
+    calls = {"n": 0, "mode": "retry"}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            calls["n"] += 1
+            if calls["mode"] == "retry" and calls["n"] < 3:
+                self.send_response(429 if calls["n"] == 1 else 503)
+            elif calls["mode"] == "forbidden":
+                self.send_response(403)
+            else:
+                self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        n = WebhookNotifier(
+            f"http://127.0.0.1:{srv.server_port}/hook",
+            backoffs=(0.01, 0.01),
+        )
+        # 429 -> 503 -> 200: two retries, then success
+        assert n.notify({"event": "phase_failed"}) is True
+        assert calls["n"] == 3
+        # 403 is not transient: exactly one attempt, contained failure
+        calls["n"], calls["mode"] = 0, "forbidden"
+        assert n.notify({"event": "phase_failed"}) is False
+        assert calls["n"] == 1
+    finally:
+        srv.shutdown()

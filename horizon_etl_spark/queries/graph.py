@@ -34,6 +34,9 @@ reference normalizes person ids before merging families
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from horizon_etl_spark.queries.registry import register, table
@@ -483,5 +486,110 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
             }
         finally:
             deg.unpersist()
+    finally:
+        edges.unpersist()
+
+
+def export_group_subgraphs(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    name: str = "relationship_graph_nation",
+    groups: list[str] | None = None,
+    max_groups: int = 200,
+) -> dict:
+    """Per-group graph bundle — one induced subgraph artifact per
+    nation plus a bundle manifest, mirroring the reference's
+    research-group graph bundle (people_relationship_graph_generator.py
+    :229-311 `_export_research_group_graphs` +
+    research_group_relationship_graphs_manifest.json): the group's
+    MEMBER nodes (suppliers of the nation) are expanded with their
+    one-hop trade neighbors (the advisorship-neighbor expansion
+    analogue — trade is the directed fact-pair family), the subgraph is
+    induced over members ∪ neighbors, and every node carries a
+    ``role`` annotation (member | trade_neighbor).
+
+    Scale posture: this loop is for OPERATOR-BOUNDED group sets (the
+    reference has dozens of research groups; nations are 25) — each
+    group's artifact is a filtered write over the shared persisted edge
+    frame.  ``max_groups`` guards against misuse on a high-cardinality
+    grouping column, where the right tool is one dataset
+    ``partitionBy(group)``, not per-group artifacts."""
+    from horizon_etl_spark.exports import export_graph
+    from horizon_etl_spark.report import _atomic_write
+
+    sup = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation")
+    members_by_group = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("n_name").alias("group"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
+        )
+        .collect()
+    )
+    by_group: dict[str, set] = {}
+    for r in members_by_group:
+        by_group.setdefault(r["group"], set()).add(r["node"])
+    if groups is not None:
+        by_group = {g: by_group[g] for g in groups if g in by_group}
+    if len(by_group) > max_groups:
+        raise ValueError(
+            f"{len(by_group)} groups exceeds max_groups={max_groups}; "
+            "use a partitioned dataset for high-cardinality groupings"
+        )
+
+    edges = relationship_edges(spark, sf_dir).persist()
+    try:
+        manifest_graphs = []
+        for group in sorted(by_group):
+            members = sorted(by_group[group])
+            # one-hop trade-neighbor expansion (C->S fact pairs)
+            neighbors = {
+                r["src"]
+                for r in edges.filter(
+                    (F.col("trade_count") > 0) & F.col("dst").isin(members)
+                )
+                .select("src")
+                .distinct()
+                .collect()
+            }
+            nodes_all = sorted(set(members) | neighbors)
+            sub = edges.filter(
+                F.col("src").isin(nodes_all) & F.col("dst").isin(nodes_all)
+            ).persist()
+            try:
+                role = F.when(
+                    F.col("node").isin(members), F.lit("member")
+                ).otherwise(F.lit("trade_neighbor"))
+                nodes = relationship_degrees(spark, sf_dir, edges=sub).withColumn(
+                    "role", role
+                )
+                scope = {
+                    "type": "group",
+                    "group": group,
+                    "member_count": len(members),
+                    "expanded_node_count": len(nodes_all),
+                    "trade_neighbor_count": len(neighbors - set(members)),
+                }
+                res = export_graph(
+                    spark,
+                    nodes,
+                    sub.drop("n_types"),
+                    out_dir,
+                    f"{name}_{group.strip().lower().replace(' ', '_')}",
+                    extra_manifest={"scope": scope},
+                )
+                manifest_graphs.append({**scope, "path": res["path"],
+                                        "nodes": res["n_nodes"],
+                                        "edges": res["n_edges"]})
+            finally:
+                sub.unpersist()
+        bundle = {"name": name, "graphs": manifest_graphs}
+        _atomic_write(
+            os.path.join(out_dir, f"{name}_manifest.json"),
+            json.dumps(bundle, indent=2),
+        )
+        return bundle
     finally:
         edges.unpersist()

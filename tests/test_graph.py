@@ -306,3 +306,51 @@ def test_job_graph_entrypoint(spark, tmp_path, capsys):
     # customer-only induced graph has no edges at all (every family is
     # S-S or C-S) -> publishes an empty-but-valid artifact
     assert ev["kinds"]["customer"]["n_edges"] == 0
+
+
+def test_group_subgraph_bundle(spark, tmp_path):
+    """Per-group bundle (reference research-group graph bundle +
+    manifest): member nodes expand one trade-hop, roles annotated,
+    induced edges only, atomic bundle manifest reconciles."""
+    from horizon_etl_spark.exports import export_manifest
+    from horizon_etl_spark.queries.graph import (
+        export_group_subgraphs,
+        relationship_edges,
+    )
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has only 10 suppliers total
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    pick = sorted(r["n_name"] for r in nat.select("n_name").collect())[:3]
+    out = os.path.join(tmp_path, "exports")
+    bundle = export_group_subgraphs(
+        spark, sf, out, groups=pick, max_groups=10
+    )
+    assert [g["group"] for g in bundle["graphs"]] == pick
+    with open(os.path.join(out, "relationship_graph_nation_manifest.json")) as fh:
+        assert json.load(fh) == bundle
+
+    edges_all = relationship_edges(spark, sf).persist()
+    try:
+        for g in bundle["graphs"]:
+            slug = g["group"].strip().lower().replace(" ", "_")
+            name = f"relationship_graph_nation_{slug}"
+            man = export_manifest(out, name)
+            assert man["scope"]["group"] == g["group"]
+            assert man["n_nodes"] == g["nodes"] and man["n_edges"] == g["edges"]
+            nodes = spark.read.parquet(os.path.join(out, name, "nodes"))
+            roles = {r["role"] for r in nodes.select("role").distinct().collect()}
+            assert roles <= {"member", "trade_neighbor"}
+            n_members = nodes.filter(F.col("role") == "member").count()
+            assert n_members <= g["member_count"]  # only members with edges
+            assert g["expanded_node_count"] >= g["member_count"]
+            # induced: every artifact edge exists in the full graph and
+            # joins two exported nodes
+            sub_edges = spark.read.parquet(os.path.join(out, name, "edges"))
+            ids = {r["node"] for r in nodes.select("node").collect()}
+            for r in sub_edges.select("src", "dst").collect():
+                assert r["src"] in ids and r["dst"] in ids
+    finally:
+        edges_all.unpersist()
+
+    with pytest.raises(ValueError, match="max_groups"):
+        export_group_subgraphs(spark, sf, out, max_groups=1)

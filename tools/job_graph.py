@@ -40,6 +40,12 @@ def parse_args(argv):
         action="store_true",
         help="skip the graph-stats block in the full graph's manifest",
     )
+    ap.add_argument(
+        "--nation-bundles",
+        action="store_true",
+        help="also publish one induced subgraph per nation + a bundle "
+        "manifest (the reference's research-group graph bundle shape)",
+    )
     return ap.parse_args(argv)
 
 
@@ -67,6 +73,14 @@ def main(argv=None) -> int:
             spark, args.sf_dir, args.out, name=f"{args.name}_{kind}", kind=kind
         )
         evidence["kinds"][kind] = res
+    if args.nation_bundles:
+        from horizon_etl_spark.queries.graph import export_group_subgraphs
+
+        bundle = export_group_subgraphs(spark, args.sf_dir, args.out)
+        evidence["nation_bundle"] = {
+            "graphs": len(bundle["graphs"]),
+            "manifest": f"{args.out}/relationship_graph_nation_manifest.json",
+        }
     print(json.dumps(evidence))
     return 0
 

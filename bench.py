@@ -115,7 +115,17 @@ def staged_feed(
     # files (the binlog-segment layout)
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     feed.write.mode("overwrite").partitionBy("batch").parquet(tmp)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # lost a publish race to a concurrent bench with the same
+        # params: the winner's feed is identical (deterministic
+        # generator) — use it, discard ours
+        if not os.path.exists(path):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+        log(f"feed[{tag}]: lost publish race, using {key}")
+        return spark.read.parquet(path), round(time.time() - t0, 2), True
     gen_s = round(time.time() - t0, 2)
     log(f"feed[{tag}]: generated {key} in {gen_s}s")
     return spark.read.parquet(path), gen_s, False

@@ -454,7 +454,11 @@ def bundle_exports(
                         # stream, don't slurp: driver memory stays
                         # O(1 MiB chunk) however large the biggest
                         # artifact is; ZipInfo is pre-pinned so the
-                        # bundle stays byte-reproducible
+                        # bundle stays byte-reproducible.  file_size is
+                        # declared so members > ZIP64_LIMIT (2 GiB) get
+                        # zip64 headers (zf.open computes the flag from
+                        # it; leaving it unset raises at member close)
+                        info.file_size = os.path.getsize(fpath)
                         with open(fpath, "rb") as fh, zf.open(info, "w") as dest:
                             total += _copy_stream(fh, dest)
                         n_files += 1

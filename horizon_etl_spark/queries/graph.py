@@ -311,7 +311,9 @@ def export_relationship_graph(
         if with_stats:
             if kind is not None:
                 raise ValueError("with_stats is for the full graph export")
-            extra = {"graph_stats": graph_stats(spark, sf_dir)}
+            # share the persisted edge frame — don't recompute the
+            # three family self-joins for the stats block
+            extra = {"graph_stats": graph_stats(spark, sf_dir, edges=edges)}
         return export_graph(
             spark,
             nodes,
@@ -418,14 +420,21 @@ def connected_components(
     )
 
 
-def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
+def graph_stats(
+    spark: SparkSession, sf_dir: str, edges: DataFrame | None = None
+) -> dict:
     """The reference's graph-stats block
     (people_relationship_graph_generator.py:454-503): node/edge counts,
     connected components + largest size, per-relation event totals and
     edge presence, node-kind distribution, top-20 by weighted degree —
     every number a bounded aggregate collect (the component step is the
-    distributed algorithm above, not an in-memory graph)."""
-    edges = relationship_edges(spark, sf_dir).persist()
+    distributed algorithm above, not an in-memory graph).  Pass a
+    precomputed (persisted) ``edges`` frame to share one family scan
+    with an exporting caller."""
+    owns_edges = edges is None
+    edges = (
+        relationship_edges(spark, sf_dir).persist() if owns_edges else edges
+    )
     try:
         deg = relationship_degrees(spark, sf_dir, edges=edges).persist()
         try:
@@ -487,7 +496,8 @@ def graph_stats(spark: SparkSession, sf_dir: str) -> dict:
         finally:
             deg.unpersist()
     finally:
-        edges.unpersist()
+        if owns_edges:
+            edges.unpersist()
 
 
 def export_group_subgraphs(
@@ -520,57 +530,78 @@ def export_group_subgraphs(
 
     sup = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
-    members_by_group = (
-        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-        .select(
-            F.col("n_name").alias("group"),
-            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
-        )
-        .collect()
+    member_nodes = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).select(
+        F.col("n_name").alias("group"),
+        F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"),
     )
-    by_group: dict[str, set] = {}
-    for r in members_by_group:
-        by_group.setdefault(r["group"], set()).add(r["node"])
+    # group NAMES (+ member counts) come to the driver — O(groups), the
+    # operator-bounded dimension; member/neighbor NODE SETS stay
+    # DataFrames (isin literal lists over them would grow with the
+    # dataset — the exact plan-blowup read_keys guards against)
+    counts = {
+        r["group"]: r["n"]
+        for r in member_nodes.groupBy("group")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     if groups is not None:
-        by_group = {g: by_group[g] for g in groups if g in by_group}
-    if len(by_group) > max_groups:
+        unknown = sorted(set(groups) - set(counts))
+        if unknown:
+            raise ValueError(f"unknown group name(s): {unknown}")
+        counts = {g: counts[g] for g in groups}
+    if len(counts) > max_groups:
         raise ValueError(
-            f"{len(by_group)} groups exceeds max_groups={max_groups}; "
+            f"{len(counts)} groups exceeds max_groups={max_groups}; "
             "use a partitioned dataset for high-cardinality groupings"
         )
 
     edges = relationship_edges(spark, sf_dir).persist()
     try:
         manifest_graphs = []
-        for group in sorted(by_group):
-            members = sorted(by_group[group])
-            # one-hop trade-neighbor expansion (C->S fact pairs)
-            neighbors = {
-                r["src"]
-                for r in edges.filter(
-                    (F.col("trade_count") > 0) & F.col("dst").isin(members)
+        for group in sorted(counts):
+            members = member_nodes.filter(F.col("group") == group).select("node")
+            # one-hop trade-neighbor expansion (C->S fact pairs), as a
+            # broadcast semi-join — never a collected literal list
+            neighbors = (
+                edges.filter(F.col("trade_count") > 0)
+                .join(
+                    F.broadcast(members),
+                    edges.dst == members.node,
+                    "left_semi",
                 )
-                .select("src")
+                .select(F.col("src").alias("node"))
                 .distinct()
-                .collect()
-            }
-            nodes_all = sorted(set(members) | neighbors)
-            sub = edges.filter(
-                F.col("src").isin(nodes_all) & F.col("dst").isin(nodes_all)
-            ).persist()
-            try:
-                role = F.when(
-                    F.col("node").isin(members), F.lit("member")
-                ).otherwise(F.lit("trade_neighbor"))
-                nodes = relationship_degrees(spark, sf_dir, edges=sub).withColumn(
-                    "role", role
+            )
+            group_nodes = (
+                members.withColumn("role", F.lit("member"))
+                .unionByName(
+                    neighbors.join(
+                        F.broadcast(members), "node", "left_anti"
+                    ).withColumn("role", F.lit("trade_neighbor"))
                 )
+                .persist()
+            )
+            ids = F.broadcast(group_nodes.select("node"))
+            sub = (
+                edges.join(ids, edges.src == ids.node, "left_semi")
+                .join(ids, edges.dst == ids.node, "left_semi")
+                .persist()
+            )
+            try:
+                nodes = relationship_degrees(spark, sf_dir, edges=sub).join(
+                    F.broadcast(group_nodes), "node"
+                )
+                n_neighbors = group_nodes.filter(
+                    F.col("role") == "trade_neighbor"
+                ).count()
                 scope = {
                     "type": "group",
                     "group": group,
-                    "member_count": len(members),
-                    "expanded_node_count": len(nodes_all),
-                    "trade_neighbor_count": len(neighbors - set(members)),
+                    "member_count": counts[group],
+                    "expanded_node_count": counts[group] + n_neighbors,
+                    "trade_neighbor_count": n_neighbors,
                 }
                 res = export_graph(
                     spark,
@@ -585,6 +616,7 @@ def export_group_subgraphs(
                                         "edges": res["n_edges"]})
             finally:
                 sub.unpersist()
+                group_nodes.unpersist()
         bundle = {"name": name, "graphs": manifest_graphs}
         _atomic_write(
             os.path.join(out_dir, f"{name}_manifest.json"),

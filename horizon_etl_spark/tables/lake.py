@@ -358,16 +358,24 @@ def _footer_stats(path: str, key: str | None) -> tuple[int, str | None, str | No
     return rows, mn, mx
 
 
-# Snapshot row-stats scheme versions.  1 (implicit, pre-footer-stats):
+# Snapshot row-stats scheme versions.  1 (pre-footer-stats):
 # FileEntry.rows was the BUCKET-level count per commit, repeated on each
 # file of that bucket+commit.  2: rows is the exact per-file parquet
-# footer count.  Commits stamp the CURRENT version; a manifest missing
-# the stamp is read with the old-scheme dedup so stale snapshots can't
-# inflate rebucket advisories.
+# footer count.  Commits stamp the CURRENT version.  A manifest MISSING
+# the stamp defaults to scheme 2: the stamping writer postdates the
+# footer-stats writer, so every live unstamped manifest carries exact
+# per-file counts — reading those with the scheme-1 dedup would keep
+# one file per (commit, bucket) and UNDER-count, silencing rebucket
+# advisories on overloaded tables.  Scheme-1 dedup still applies to
+# manifests that explicitly declare stats_version: 1 (a hand-migrated
+# pre-footer-stats snapshot); its failure mode (an advisory firing
+# early → one harmless atomic rebucket) is the safer direction anyway.
 STATS_FILE_ROWS = 2
 
 
-def _distinct_bucket_rows(files: list["FileEntry"], stats_version: int = 1) -> int:
+def _distinct_bucket_rows(
+    files: list["FileEntry"], stats_version: int = STATS_FILE_ROWS
+) -> int:
     """Approximate table rows from file entries, honouring the
     manifest's declared stats scheme (see STATS_FILE_ROWS)."""
     if stats_version >= STATS_FILE_ROWS:
@@ -1193,7 +1201,9 @@ class LakeTable:
                 "target_rows_per_bucket", DEFAULT_TARGET_ROWS_PER_BUCKET
             )
         )
-        est_rows = _distinct_bucket_rows(files, int(snap.get("stats_version", 1)))
+        est_rows = _distinct_bucket_rows(
+            files, int(snap.get("stats_version", STATS_FILE_ROWS))
+        )
         if est_rows > snap["bucket_count"] * target_rpb:
             summary["rebucket_recommended"] = recommended_bucket_count(
                 est_rows, target_rpb

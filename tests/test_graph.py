@@ -354,3 +354,15 @@ def test_group_subgraph_bundle(spark, tmp_path):
 
     with pytest.raises(ValueError, match="max_groups"):
         export_group_subgraphs(spark, sf, out, max_groups=1)
+
+
+def test_group_subgraphs_unknown_group_errors(spark, tmp_path):
+    """A typo'd group name must raise, not silently export an empty
+    bundle that reads as success."""
+    from horizon_etl_spark.queries.graph import export_group_subgraphs
+
+    with pytest.raises(ValueError, match="unknown group"):
+        export_group_subgraphs(
+            spark, "/root/testdata/sf0.01", os.path.join(tmp_path, "x"),
+            groups=["BRAZIL ", "JAPPAN"],
+        )

@@ -451,8 +451,11 @@ def test_distinct_bucket_rows_honours_stats_version():
         FileEntry("data/v2/bucket=0/part-b.parquet", 0, 40, None, None),
     ]
     assert _distinct_bucket_rows(new, stats_version=STATS_FILE_ROWS) == 100
-    # unstamped manifests default to the conservative old scheme
-    assert _distinct_bucket_rows(old) == 140
+    # unstamped manifests default to scheme 2 (exact per-file): every
+    # live unstamped manifest was written by the footer-stats writer,
+    # so the scheme-1 dedup would UNDER-count and silence advisories;
+    # explicit stats_version=1 keeps the dedup for migrated snapshots
+    assert _distinct_bucket_rows(old) == 240
 
 
 def test_commits_stamp_stats_version(spark, tmp_table_dir):

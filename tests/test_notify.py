@@ -192,3 +192,40 @@ def test_webhook_retries_transient_then_succeeds():
         assert calls["n"] == 1
     finally:
         srv.shutdown()
+
+
+def test_phase_timeout_emits_evidence_and_alert(tmp_path, capsys):
+    """A WEDGED phase (the case alerting exists for) must produce a
+    phase_failed alert + an evidence line, not an unhandled
+    TimeoutExpired traceback with a silent channel."""
+    import sys
+    import types
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.orchestrate import run_phase
+
+    fake_home = os.path.join(tmp_path, "spark")
+    os.makedirs(os.path.join(fake_home, "bin"))
+    stub = os.path.join(fake_home, "bin", "spark-submit")
+    with open(stub, "w") as fh:
+        fh.write("#!/bin/sh\nsleep 30\n")
+    os.chmod(stub, 0o755)
+    old_home = os.environ.get("SPARK_HOME")
+    os.environ["SPARK_HOME"] = fake_home
+    try:
+        args = types.SimpleNamespace(
+            master="local[1]", py_files="engine.zip", conf=[], phase_timeout=1
+        )
+        alerts = os.path.join(tmp_path, "alerts.jsonl")
+        rc, ev = run_phase("ingest", ["job.py"], args, FileNotifier(alerts))
+    finally:
+        if old_home is None:
+            os.environ.pop("SPARK_HOME", None)
+        else:
+            os.environ["SPARK_HOME"] = old_home
+    assert rc == 124 and ev["exit_code"] is None and ev["timeout"] == 1
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["phase"] == "ingest" and line["exit_code"] is None
+    alert = json.loads(open(alerts).read())
+    assert alert["event"] == "phase_failed" and alert["phase"] == "ingest"
+    assert "timed out" in alert["stderr_tail"]

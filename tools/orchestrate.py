@@ -104,9 +104,30 @@ def run_phase(name, script_args, args, notifier=None):
         cmd += ["--conf", c]
     cmd += script_args
     t0 = time.monotonic()
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=args.phase_timeout
-    )
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=args.phase_timeout
+        )
+    except subprocess.TimeoutExpired as exc:
+        # a WEDGED phase (executor deadlock, stuck shuffle) is exactly
+        # the case alerting exists for — emit evidence + alert instead
+        # of dying with a traceback and a silent channel
+        stderr = exc.stderr or b""
+        if isinstance(stderr, bytes):
+            stderr = stderr.decode("utf-8", "replace")
+        evidence = {
+            "phase": name,
+            "exit_code": None,
+            "timeout": args.phase_timeout,
+            "seconds": round(time.monotonic() - t0, 2),
+            "stderr_tail": (stderr[-2000:] or f"phase timed out after {args.phase_timeout}s"),
+        }
+        if notifier is not None:
+            from horizon_etl_spark.notify import phase_failed_event
+
+            notifier.notify(phase_failed_event(evidence))
+        print(json.dumps(evidence), flush=True)
+        return 124, evidence
     evidence = {
         "phase": name,
         "exit_code": proc.returncode,

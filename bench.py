@@ -470,6 +470,54 @@ def run_bloom_bench(
     return out
 
 
+def run_graph_bench(spark, sf_dir: str) -> dict:
+    """Multi-relationship graph family at bench scale: the merged
+    3-family edge build + summary witness, distributed connected
+    components (large-star/small-star rounds), and the executive mart
+    report render.  Reported outside the headline total (new in round
+    5 — not part of the round-over-round comparable suite)."""
+    from horizon_etl_spark.queries import QUERIES
+    from horizon_etl_spark.queries.graph import (
+        connected_components,
+        relationship_edges,
+    )
+    from horizon_etl_spark.report_exec import executive_report
+
+    t0 = time.time()
+    rows = {
+        r["rel_type"]: r
+        for r in QUERIES["relationship_graph_summary"](spark, sf_dir).collect()
+    }
+    summary_sec = round(time.time() - t0, 2)
+
+    edges = relationship_edges(spark, sf_dir).persist()
+    try:
+        edges.count()  # materialize so cc times the algorithm, not the build
+        t0 = time.time()
+        n_components = (
+            connected_components(spark, edges)
+            .select("component")
+            .distinct()
+            .count()
+        )
+        cc_sec = round(time.time() - t0, 2)
+    finally:
+        edges.unpersist()
+
+    t0 = time.time()
+    executive_report(spark, sf_dir)
+    exec_sec = round(time.time() - t0, 2)
+    return {
+        "n_edges": rows["all"]["n_edges"],
+        "n_nodes": rows["all"]["n_nodes"],
+        "multi_type_edges": rows["all"]["multi_type_edges"],
+        "summary_sec": summary_sec,
+        "n_components": n_components,
+        "connected_components_sec": cc_sec,
+        "executive_report_sec": exec_sec,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -512,6 +560,9 @@ def main() -> None:
     bloom = run_bloom_bench(spark, bl_keys)
     log(f"bloom: {bloom}")
 
+    graph = run_graph_bench(spark, sf_dir)
+    log(f"graph: {graph}")
+
     from horizon_etl_spark.queries import QUERIES
 
     names = os.environ.get("BENCH_QUERIES")
@@ -536,6 +587,7 @@ def main() -> None:
         "outbox": outbox,
         "replica": replica,
         "bloom": bloom,
+        "graph": graph,
     }
     print(json.dumps(out), flush=True)
     spark.stop()

@@ -42,6 +42,11 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--events", type=int, default=10_000_000)
     ap.add_argument("--skip-cdc", action="store_true", help="rerun only the rebucket section")
+    ap.add_argument(
+        "--only-graph",
+        action="store_true",
+        help="run only the graph10x section, merging prior sections from --out",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -58,6 +63,79 @@ def main() -> int:
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.cpus * 2,
     )
+
+    def run_graph10(sf_dir: str = "/root/testdata/sf0.1", copies: int = 10) -> dict:
+        """Connected components at 10× the sf0.1 edge count: the merged
+        relationship graph replicated as ``copies`` DISJOINT prefixed
+        copies (``g<i>:<node>``), so the exact invariant
+        ``components(10×) == copies × components(1×)`` is checkable —
+        a correctness witness the raw timing alone wouldn't give.  The
+        scale signal is cc_sec growth vs the 1× run: large-star/small-
+        star is O(rounds × shuffle(edges)) with rounds bounded by the
+        log of the LARGEST component, which replication leaves
+        unchanged — so 10× edges should cost ~10× shuffle, not more."""
+        from horizon_etl_spark.queries.graph import (
+            connected_components,
+            relationship_edges,
+        )
+
+        base = relationship_edges(spark, sf_dir).select("src", "dst").persist()
+        base_edges = base.count()
+        t0 = time.time()
+        base_components = (
+            connected_components(spark, base).select("component").distinct().count()
+        )
+        base_sec = round(time.time() - t0, 2)
+
+        copy_ids = spark.range(copies).select(F.col("id").cast("string").alias("g"))
+        rep = (
+            base.crossJoin(F.broadcast(copy_ids))
+            .select(
+                F.concat_ws(":", "g", "src").alias("src"),
+                F.concat_ws(":", "g", "dst").alias("dst"),
+            )
+            .persist()
+        )
+        n_edges = rep.count()
+        base.unpersist()
+        t0 = time.time()
+        n_components = (
+            connected_components(spark, rep).select("component").distinct().count()
+        )
+        cc_sec = round(time.time() - t0, 2)
+        rep.unpersist()
+        expected = copies * base_components
+        if n_components != expected:
+            raise AssertionError(
+                f"graph10x invariant broken: {n_components} components, "
+                f"expected {expected}"
+            )
+        return {
+            "base_edges": base_edges,
+            "base_components": base_components,
+            "base_cc_sec": base_sec,
+            "copies": copies,
+            "n_edges": n_edges,
+            "n_components": n_components,
+            "cc_sec": cc_sec,
+        }
+
+    if args.only_graph:
+        graph = run_graph10()
+        bench.log(f"graph10x: {graph}")
+        out = {"metric": "scale10x_evidence", "cpus": args.cpus, "graph10x": graph}
+        if args.out and os.path.exists(args.out):
+            with open(args.out) as fh:
+                prior = json.loads(fh.read())
+            prior.update(out)
+            out = prior
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(line + "\n")
+        spark.stop()
+        return 0
 
     # --- cdc at 10x, identical protocol to bench.py's sf0.1 section
     num_events = args.events
@@ -170,6 +248,9 @@ def main() -> int:
     )
     bench.log(f"replica10x: {replica}")
 
+    graph = run_graph10()
+    bench.log(f"graph10x: {graph}")
+
     out = {
         "metric": "scale10x_evidence",
         "cpus": args.cpus,
@@ -178,6 +259,7 @@ def main() -> int:
         "bloom10x": bloom,
         "bloom10x_files": bloom_files,
         "replica10x": replica,
+        "graph10x": graph,
     }
     if args.skip_cdc and args.out and os.path.exists(args.out):
         # merge the fresh rebucket section over a prior full run

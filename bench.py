@@ -19,6 +19,7 @@ this module's CDC stage at two parallelism levels.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -96,6 +97,16 @@ def staged_feed(
         log(f"feed[{tag}]: cache hit {key}")
         return spark.read.parquet(path), 0.0, True
     os.makedirs(cache_root, exist_ok=True)
+    # sweep tmp dirs orphaned by a crashed/interrupted writer — the
+    # cache root is never rmtree'd, so without this they accumulate
+    # multi-GB forever; the age guard protects a CONCURRENT bench
+    # that is mid-write right now
+    for stale in glob.glob(os.path.join(cache_root, "*.tmp-*")):
+        try:
+            if time.time() - os.path.getmtime(stale) > 6 * 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     t0 = time.time()
     feed = change_feed(
         spark, num_events, num_keys, seed=seed, num_batches=num_batches,

@@ -249,27 +249,39 @@ def relationship_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("all").alias("rel_type"), "src", "dst", "w", "n_types")
     )
     edgesets = fam.withColumn("n_types", F.lit(1)).unionByName(merged)
-    sums = edgesets.groupBy("rel_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_edges"),
-        F.sum("w").cast("long").alias("total_weight"),
-        F.sum(F.when(F.col("n_types") >= 2, 1).otherwise(0))
-        .cast("long")
-        .alias("multi_raw"),
+    # ONE pass over the ends frame yields every output column: no
+    # family has self-loops (a<b pair generation; trade is C→S), so
+    # each edge contributes exactly two end rows and the edge-grain
+    # sums recover exactly as half the node-grain sums — this keeps
+    # the expensive fam subtree at two plan instances (edgesets +
+    # merged) instead of four (the old sums⋈hashes join duplicated
+    # the whole edgesets subtree).
+    ends = edgesets.select(
+        "rel_type", F.col("src").alias("node"), "w", "n_types"
+    ).unionByName(
+        edgesets.select("rel_type", F.col("dst").alias("node"), "w", "n_types")
     )
-    hashes = _degree_md5(edgesets.select("rel_type", "src", "dst", "w"))
-    return (
-        sums.join(hashes, "rel_type")
-        .select(
-            "rel_type",
-            "n_edges",
-            "total_weight",
-            "n_nodes",
-            F.when(F.col("rel_type") == "all", F.col("multi_raw"))
-            .otherwise(F.lit(0))
-            .cast("long")
-            .alias("multi_type_edges"),
-            "degree_md5",
-        )
+    deg = ends.groupBy("rel_type", "node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("w").cast("long").alias("wdeg"),
+        F.sum(F.when(F.col("n_types") >= 2, 1).otherwise(0)).alias("multi_ends"),
+    )
+    s = F.concat_ws(":", "node", "degree", "wdeg")
+    return deg.groupBy("rel_type").agg(
+        (F.sum("degree") / 2).cast("long").alias("n_edges"),
+        (F.sum("wdeg") / 2).cast("long").alias("total_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        (F.sum("multi_ends") / 2).cast("long").alias("multi_type_edges"),
+        F.md5(F.concat_ws("|", F.sort_array(F.collect_list(s)))).alias(
+            "degree_md5"
+        ),
+    ).select(
+        "rel_type",
+        "n_edges",
+        "total_weight",
+        "n_nodes",
+        "multi_type_edges",
+        "degree_md5",
     )
 
 
@@ -540,17 +552,25 @@ def export_group_subgraphs(
     # operator-bounded dimension; member/neighbor NODE SETS stay
     # DataFrames (isin literal lists over them would grow with the
     # dataset — the exact plan-blowup read_keys guards against)
-    counts = {
+    member_counts = {
         r["group"]: r["n"]
         for r in member_nodes.groupBy("group")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # the group universe is the GROUP dimension (every nation), not
+    # the groups that happen to have members — a valid zero-supplier
+    # nation must not read as a typo, and the default bundle must
+    # account for it (as a skipped entry) rather than omit it silently
+    all_groups = {r["n_name"] for r in nat.select("n_name").collect()}
     if groups is not None:
-        unknown = sorted(set(groups) - set(counts))
+        unknown = sorted(set(groups) - all_groups)
         if unknown:
             raise ValueError(f"unknown group name(s): {unknown}")
-        counts = {g: counts[g] for g in groups}
+        selected = list(dict.fromkeys(groups))
+    else:
+        selected = sorted(all_groups)
+    counts = {g: member_counts.get(g, 0) for g in selected}
     if len(counts) > max_groups:
         raise ValueError(
             f"{len(counts)} groups exceeds max_groups={max_groups}; "
@@ -561,6 +581,17 @@ def export_group_subgraphs(
     try:
         manifest_graphs = []
         for group in sorted(counts):
+            if counts[group] == 0:
+                # no members → no artifact, but the bundle says so
+                manifest_graphs.append(
+                    {
+                        "type": "group",
+                        "group": group,
+                        "member_count": 0,
+                        "skipped": "no member nodes",
+                    }
+                )
+                continue
             members = member_nodes.filter(F.col("group") == group).select("node")
             # one-hop trade-neighbor expansion (C->S fact pairs), as a
             # broadcast semi-join — never a collected literal list
@@ -590,8 +621,29 @@ def export_group_subgraphs(
                 .persist()
             )
             try:
-                nodes = relationship_degrees(spark, sf_dir, edges=sub).join(
-                    F.broadcast(group_nodes), "node"
+                # LEFT join from the scope set: a member with no edges
+                # in the induced subgraph still belongs to the artifact
+                # (degree 0), so n_nodes reconciles exactly with the
+                # manifest's expanded_node_count
+                deg = relationship_degrees(spark, sf_dir, edges=sub)
+                nodes = (
+                    group_nodes.join(deg, "node", "left")
+                    .withColumn(
+                        "degree", F.coalesce("degree", F.lit(0).cast("long"))
+                    )
+                    .withColumn(
+                        "weighted_degree",
+                        F.coalesce("weighted_degree", F.lit(0).cast("long")),
+                    )
+                    .withColumn(
+                        "kind",
+                        F.coalesce(
+                            "kind",
+                            F.when(
+                                F.col("node").startswith("S"), F.lit("supplier")
+                            ).otherwise(F.lit("customer")),
+                        ),
+                    )
                 )
                 n_neighbors = group_nodes.filter(
                     F.col("role") == "trade_neighbor"
@@ -618,6 +670,8 @@ def export_group_subgraphs(
                 sub.unpersist()
                 group_nodes.unpersist()
         bundle = {"name": name, "graphs": manifest_graphs}
+        # a bundle of only skipped groups still publishes its manifest
+        os.makedirs(out_dir, exist_ok=True)
         _atomic_write(
             os.path.join(out_dir, f"{name}_manifest.json"),
             json.dumps(bundle, indent=2),

@@ -38,17 +38,21 @@ EXEC_SECTIONS: tuple[tuple[str, str], ...] = (
 )
 
 
-def _section(df: DataFrame, limit: int) -> dict[str, Any]:
-    rows = df.limit(limit + 1).collect()
-    truncated = len(rows) > limit
-    rows = rows[:limit]
+def _section(df: DataFrame, limit: int) -> tuple[dict[str, Any], list[list[Any]]]:
+    """Materialize one section.  Every section is a groups-bounded
+    aggregate, so the FULL result is collected once (O(groups)); only
+    the stored artifact rows are capped at ``limit`` — highlights must
+    be computed from the returned full rows, never the truncated ones
+    (a >limit section would otherwise silently under-report totals)."""
+    full = [[r[c] for c in df.columns] for r in df.collect()]
     return {
         "columns": df.columns,
-        "rows": [[r[c] for c in df.columns] for r in rows],
-        "n_rows": len(rows),
+        "rows": full[:limit],
+        "n_rows": min(len(full), limit),
+        "total_rows": len(full),
         # no silent caps: a section that didn't fit says so
-        "truncated": truncated,
-    }
+        "truncated": len(full) > limit,
+    }, full
 
 
 def executive_report(
@@ -64,18 +68,20 @@ def executive_report(
 
     now = datetime.now(timezone.utc).replace(tzinfo=None)
     sections: dict[str, Any] = {}
+    full_rows: dict[str, list[list[Any]]] = {}
     for name, caption in EXEC_SECTIONS:
         df = QUERIES[name](spark, sf_dir)
         order = [c for c in df.columns if not c.startswith("_")]
-        sections[name] = {
-            "caption": caption,
-            **_section(df.orderBy(*order), max_rows_per_section),
-        }
+        sec, full = _section(df.orderBy(*order), max_rows_per_section)
+        sections[name] = {"caption": caption, **sec}
+        full_rows[name] = full
 
-    years = sections["orders_per_year"]["rows"]
+    # highlights aggregate over the FULL section results, so a section
+    # that overflowed the stored-row cap still yields exact headlines
+    years = full_rows["orders_per_year"]
     yc = sections["orders_per_year"]["columns"]
     y_year, y_orders = yc.index("order_year"), yc.index("n_orders")
-    top = sections["top_revenue_orders"]["rows"]
+    top = full_rows["top_revenue_orders"]
     tc = sections["top_revenue_orders"]["columns"]
     highlights = {
         "years_covered": len(years),
@@ -120,7 +126,9 @@ def _render_markdown(report: dict[str, Any]) -> str:
             lines.append("| " + " | ".join(str(v) for v in row) + " |")
         if sec["truncated"]:
             lines.append("")
-            lines.append(f"_(truncated at {sec['n_rows']} rows)_")
+            lines.append(
+                f"_(showing {sec['n_rows']} of {sec['total_rows']} rows)_"
+            )
     return "\n".join(lines) + "\n"
 
 

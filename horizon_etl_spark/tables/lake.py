@@ -585,6 +585,7 @@ class LakeTable:
         keys: list,
         snap: dict[str, Any],
         probe_blooms: bool = True,
+        key_df: DataFrame | None = None,
     ) -> list[FileEntry]:
         """Driver-side file pruning for a point-key lookup: bucket +
         min/max range + (when sidecars exist) bloom membership.  The
@@ -595,33 +596,46 @@ class LakeTable:
         probes themselves run in-process against the cached sidecar
         words, so pruning cost is O(keys × files-in-their-buckets) bit
         tests — no cluster round trip per file."""
+        import bisect
+
         key_col = snap["key_col"]
         nb = snap["bucket_count"]
         key_field = StructType.fromJson(snap["schema"])[key_col]
-        h1e, h2e = _bloom_hash_exprs(key_col)
-        rows = (
-            spark.createDataFrame(
-                [(k,) for k in keys], StructType([key_field])
-            )
-            .select(
-                F.col(key_col),
-                bucket_expr(key_col, nb).alias("_b"),
-                h1e.alias("_h1"),
-                h2e.alias("_h2"),
-            )
-            .collect()
+        src = key_df if key_df is not None else spark.createDataFrame(
+            [(k,) for k in keys], StructType([key_field])
         )
+        cols = [F.col(key_col), bucket_expr(key_col, nb).alias("_b")]
+        if probe_blooms:
+            h1e, h2e = _bloom_hash_exprs(key_col)
+            cols += [h1e.alias("_h1"), h2e.alias("_h2")]
+        rows = src.select(*cols).collect()
         by_bucket: dict[int, list] = {}
         for r in rows:
             by_bucket.setdefault(r["_b"], []).append(r)
+        # bulk path (no bloom probes): the per-file question collapses
+        # to "does ANY key fall in [min,max]" — sort each bucket's keys
+        # once and bisect, O(files × log keys) instead of O(files × keys)
+        sorted_keys: dict[int, list] = (
+            {}
+            if probe_blooms
+            else {b: sorted(r[key_col] for r in rs) for b, rs in by_bucket.items()}
+        )
         out: list[FileEntry] = []
         for f in [FileEntry.from_json(x) for x in snap["files"]]:
             if f.bucket == -1:
                 out.append(f)  # unbucketed file: no layout info, scan it
                 continue
-            cands = by_bucket.get(f.bucket)
-            if not cands:
+            if f.bucket not in by_bucket:
                 continue
+            if not probe_blooms:
+                ks = sorted_keys[f.bucket]
+                if f.min_key is not None and f.max_key is not None:
+                    i = bisect.bisect_left(ks, f.min_key)
+                    if i >= len(ks) or ks[i] > f.max_key:
+                        continue
+                out.append(f)
+                continue
+            cands = by_bucket[f.bucket]
             cands = [
                 r
                 for r in cands
@@ -679,23 +693,29 @@ class LakeTable:
             raise ValueError("read_keys requires a keyed table")
         schema = StructType.fromJson(snap["schema"])
         keys = list(keys)
+        bulk = len(keys) > READ_KEYS_ISIN_MAX
+        # ONE key frame serves both the pruning job and (on the bulk
+        # path) the semi-join — not two identical driver serializations
+        lk = (
+            spark.createDataFrame(
+                [(k,) for k in keys], StructType([schema[snap["key_col"]]])
+            )
+            if keys
+            else None
+        )
         files = (
             self._files_for_keys(
-                spark, keys, snap, probe_blooms=len(keys) <= READ_KEYS_ISIN_MAX
+                spark, keys, snap, probe_blooms=not bulk, key_df=lk
             )
             if keys
             else []
         )
         df = self._scan(spark, files, schema)
-        if len(keys) > READ_KEYS_ISIN_MAX:
+        if bulk:
             # point-lookup misuse guard: a giant isin() literal list
             # blows up the plan (and the per-key driver bloom loop is
             # O(keys × files)); degrade to a broadcast semi-join, which
             # is the right plan shape for bulk key sets anyway
-            key_field = schema[snap["key_col"]]
-            lk = spark.createDataFrame(
-                [(k,) for k in keys], StructType([key_field])
-            )
             df = df.join(F.broadcast(lk), snap["key_col"], "semi")
         else:
             df = df.filter(F.col(snap["key_col"]).isin(keys))

@@ -341,8 +341,12 @@ def test_group_subgraph_bundle(spark, tmp_path):
             roles = {r["role"] for r in nodes.select("role").distinct().collect()}
             assert roles <= {"member", "trade_neighbor"}
             n_members = nodes.filter(F.col("role") == "member").count()
-            assert n_members <= g["member_count"]  # only members with edges
+            # every member is exported (edgeless ones at degree 0), so
+            # the artifact reconciles exactly with its manifest scope
+            assert n_members == g["member_count"]
+            assert g["nodes"] == g["expanded_node_count"]
             assert g["expanded_node_count"] >= g["member_count"]
+            assert nodes.filter(F.col("degree").isNull()).count() == 0
             # induced: every artifact edge exists in the full graph and
             # joins two exported nodes
             sub_edges = spark.read.parquet(os.path.join(out, name, "edges"))
@@ -366,3 +370,39 @@ def test_group_subgraphs_unknown_group_errors(spark, tmp_path):
             spark, "/root/testdata/sf0.01", os.path.join(tmp_path, "x"),
             groups=["BRAZIL ", "JAPPAN"],
         )
+
+
+def test_group_subgraphs_zero_member_group_skipped(spark, tmp_path):
+    """A REAL nation with no suppliers is a valid group, not a typo:
+    requesting it yields a manifest entry marked skipped (no artifact,
+    no error), so the bundle accounts for every group it was asked
+    for.  sf0.001 has 10 suppliers across 25 nations, so zero-member
+    nations are guaranteed to exist."""
+    from horizon_etl_spark.queries.graph import export_group_subgraphs
+
+    sf = "/root/testdata/sf0.001"
+    sup = spark.read.parquet(f"{sf}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf}/nation.parquet")
+    with_members = {
+        r["n_nationkey"]
+        for r in sup.select(F.col("s_nationkey").alias("n_nationkey"))
+        .distinct()
+        .collect()
+    }
+    empty = sorted(
+        r["n_name"]
+        for r in nat.collect()
+        if r["n_nationkey"] not in with_members
+    )
+    assert empty, "fixture invariant: some nation has no suppliers"
+    out = os.path.join(tmp_path, "exports")
+    bundle = export_group_subgraphs(spark, sf, out, groups=[empty[0]])
+    (entry,) = bundle["graphs"]
+    assert entry["group"] == empty[0]
+    assert entry["member_count"] == 0
+    assert entry["skipped"] == "no member nodes"
+    assert "path" not in entry
+    slug = empty[0].strip().lower().replace(" ", "_")
+    assert not os.path.exists(
+        os.path.join(out, f"relationship_graph_nation_{slug}")
+    )

@@ -45,6 +45,19 @@ def test_highlights_reconcile_with_sections(spark):
     assert doc["highlights"]["top_order_revenue"] == max(r[ri] for r in top["rows"])
 
 
+def test_highlights_exact_under_truncation(spark):
+    """A section overflowing the stored-row cap must NOT distort the
+    headline numbers: highlights aggregate the full result, the cap
+    only bounds the artifact rows (the 'no silent caps' rule applied
+    to the derived headlines, not just the section flag)."""
+    full = executive_report(spark, SF_DIR)
+    doc = executive_report(spark, SF_DIR, max_rows_per_section=2)
+    sec = doc["sections"]["orders_per_year"]
+    assert sec["truncated"] and sec["n_rows"] == 2 and sec["total_rows"] > 2
+    assert len(sec["rows"]) == 2
+    assert doc["highlights"] == full["highlights"]
+
+
 def test_write_and_job_entrypoint(spark, tmp_path, capsys):
     """Atomic stamped+latest pair; job_report --executive-sf-dir emits
     it alongside the flow report with the path in the evidence line."""

@@ -83,7 +83,13 @@ def parse_args(argv):
         help="engine zip; built into dist/ if omitted",
     )
     ap.add_argument("--phase-timeout", type=int, default=3600)
-    return ap.parse_args(argv)
+    args = ap.parse_args(argv)
+    if args.executive_sf_dir and args.report_out is None:
+        # fail loudly: the executive report rides the report phase, so
+        # requesting one without --report-out would otherwise be a
+        # silent no-op for an explicitly asked-for artifact
+        ap.error("--executive-sf-dir requires --report-out")
+    return args
 
 
 def _notifier(args):

@@ -609,3 +609,62 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("simhash", 9, 4).alias("band2"),
         F.substring("simhash", 13, 4).alias("band3"),
     )
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER consolidation — the step a training-data
+    pipeline runs after candidate generation: the MinHash-LSH verified
+    pair set (``minhash_dedup``) is closed into connected components
+    (a doc transitively linked to a near-dup group belongs to it even
+    without a direct pair), every document gets a cluster id
+    (singletons are their own cluster), and each cluster elects ONE
+    canonical document — longest text wins, ties broken by smallest
+    doc_id — so ``is_duplicate`` rows are exactly what a dedup pass
+    drops.  Reference semantics: the duplicate-group consolidation in
+    canonical_data.py's dedup step (group → elected survivor →
+    non-survivors removed), re-expressed over the LSH candidate graph.
+
+    Scale posture: pair volume is ∝ LSH bucket collisions (never
+    |docs|²), the closure is the same large-star/small-star
+    ``connected_components`` the relationship graph uses (O(log n)
+    shuffle rounds, no driver-side graph), and the election is one
+    max_by-shaped aggregate per cluster — each stage survives a
+    100 TB corpus.
+
+    Returns (doc_id, cluster_id, cluster_size, canonical_doc,
+    is_duplicate), one row per document."""
+    from horizon_etl_spark.queries.graph import connected_components
+
+    d = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.length(F.col("text")).alias("_q"),
+    )
+    pairs = minhash_dedup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(spark, pairs, src="doc_a", dst="doc_b")
+    member = d.join(
+        comp.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        "_q",
+        F.coalesce("component", F.col("doc_id")).alias("cluster_id"),
+    )
+    # one aggregate elects the canonical doc: max (quality, -doc_id)
+    # struct = longest text, then smallest id — deterministic without
+    # a window sort over the whole corpus
+    elect = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.max(F.struct(F.col("_q"), (-F.col("doc_id")).alias("_n"))).alias("_w"),
+    ).select(
+        "cluster_id",
+        "cluster_size",
+        (-F.col("_w._n")).cast("long").alias("canonical_doc"),
+    )
+    return member.join(elect, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "canonical_doc",
+        (F.col("doc_id") != F.col("canonical_doc")).alias("is_duplicate"),
+    )

@@ -182,6 +182,7 @@ def apply_batch(
     if persist_source:
         tagged = tagged.persist()
     winners = None
+    stats: dict[str, Any] | None = None
     try:
         # within-batch dedup + LWW collapse in one reduction: duplicate
         # (doc_id, lsn) rows are byte-identical, so max_by keeps exactly
@@ -223,7 +224,10 @@ def apply_batch(
         pre_merge_version = pipe.target.current_version() if with_rollup else None
         # cache the merge join when anything re-reads it: the change-log
         # sink append, or rollup maintenance evaluating the returned
-        # change images right after the merge (still-warm cache)
+        # change images right after the merge.  Passing True makes US
+        # the cache owner — merge returns the handle in
+        # stats["persisted_join"] and the finally below releases it
+        # after the last consumer (_maintain_rollup) has run
         persist_join = with_change_log or with_rollup
         if attr_mode:
             stats = pipe.target.merge_attrs(
@@ -332,6 +336,11 @@ def apply_batch(
             tagged.unpersist()
         if winners is not None:
             winners.unpersist()
+        # merge kept the join cached because WE asked (persist_join):
+        # release it only after every post-merge consumer — rollup
+        # maintenance evaluating the change images — has run
+        if stats is not None and stats.get("persisted_join") is not None:
+            stats["persisted_join"].unpersist()
 
 
 def _write_quarantine(
@@ -343,31 +352,55 @@ def _write_quarantine(
 ) -> None:
     """Dead-letter write for the batch's invalid rows (runs AFTER the
     target merge commit and only for dirty batches).  Redelivery dedup:
-    the quarantine snapshot props remember (batch_id, input_rows) of
-    the last append; an exactly-matching redelivered batch re-derives
-    identical rows and the duplicate append is skipped."""
-    props = pipe.quarantine.props
-    if (
-        props.get("last_batch_id") == batch_id
-        and props.get("last_input_rows") == input_rows
-    ):
-        return
+    the quarantine snapshot props remember the last append's batch_id
+    plus a CONTENT fingerprint (order-free multiset hash over
+    (doc_id, lsn, reason) — count + decimal sum of xxhash64, the
+    overflow-safe shape, O(1) result with no collect_list); only an
+    exactly-matching redelivery is skipped.  A NEW feed whose batch
+    numbering restarts at the same id (and even the same row count)
+    carries different rows, hashes differently, and is appended —
+    the old (batch_id, input_rows) key silently dropped that case."""
     quarantined = (
         tagged.filter(F.col("_reason").isNotNull())
         .withColumnRenamed("_reason", "reason")
         .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        # cached so the fingerprint agg fills it and the append (the
+        # common path) reads it back — the dirty batch still pays ONE
+        # extra raw scan total, same as the pre-fingerprint code
+        .persist()
     )
-    if attr_mode and "fields" not in quarantined.columns:
-        # full-row (fields-less) batches are valid attr-mode input;
-        # the attr quarantine schema still expects the column
-        quarantined = quarantined.withColumn(
-            "fields", F.lit(None).cast("array<string>")
+    cached = quarantined  # unpersist the PERSISTED handle, not a derivation
+    try:
+        fp_row = quarantined.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", "lsn", "reason").cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        fingerprint = f"{fp_row['n']}:{fp_row['h']}"
+        props = pipe.quarantine.props
+        if (
+            props.get("last_batch_id") == batch_id
+            and props.get("last_fingerprint") == fingerprint
+        ):
+            return
+        if attr_mode and "fields" not in quarantined.columns:
+            # full-row (fields-less) batches are valid attr-mode input;
+            # the attr quarantine schema still expects the column
+            quarantined = quarantined.withColumn(
+                "fields", F.lit(None).cast("array<string>")
+            )
+        pipe.quarantine.append(
+            quarantined,
+            operation=f"quarantine(batch={batch_id})",
+            props={
+                "last_batch_id": batch_id,
+                "last_input_rows": input_rows,
+                "last_fingerprint": fingerprint,
+            },
         )
-    pipe.quarantine.append(
-        quarantined,
-        operation=f"quarantine(batch={batch_id})",
-        props={"last_batch_id": batch_id, "last_input_rows": input_rows},
-    )
+    finally:
+        cached.unpersist()
 
 
 def _reason(
@@ -453,6 +486,23 @@ def _last_batch_was_skewed(pipe: CdcPipeline, spark: SparkSession) -> bool:
         return False
 
 
+def _rebuild_rollup(
+    pipe: CdcPipeline, spark: SparkSession, synced_version: int, operation: str
+) -> None:
+    """Full rollup rebuild from current target state — the ONE
+    definition shared by bootstrap and crash-recovery maintenance, so
+    the two paths can never diverge on the aggregate's semantics."""
+    rebuilt = pipe.target.read(spark).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("total_tokens"),
+    )
+    pipe.rollup.overwrite(
+        rebuilt,
+        operation=operation,
+        props={"synced_target_version": synced_version},
+    )
+
+
 def _maintain_rollup(
     pipe: CdcPipeline,
     changes: DataFrame,
@@ -485,16 +535,7 @@ def _maintain_rollup(
     spark = changes.sparkSession
     synced = pipe.rollup.props.get("synced_target_version")
     if synced != pre_merge_version:
-        target = pipe.target.read(spark)
-        rebuilt = target.groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("total_tokens"),
-        )
-        pipe.rollup.overwrite(
-            rebuilt,
-            operation="rollup(rebuild)",
-            props={"synced_target_version": post_merge_version},
-        )
+        _rebuild_rollup(pipe, spark, post_merge_version, "rollup(rebuild)")
         return
     applied = changes.filter(F.col("op_applied").isin("insert", "update", "delete"))
     before = applied.filter(F.col("before_source").isNotNull()).select(
@@ -557,6 +598,7 @@ def reprocess_quarantine(
     spark: SparkSession,
     batch_id: int,
     whitelist: tuple[str, ...] | None = None,
+    vocab_size: int | None = None,
 ) -> dict[str, Any] | None:
     """Repair path: re-run every quarantined row through validation +
     apply after an operator fixed the upstream condition (widened
@@ -598,6 +640,10 @@ def reprocess_quarantine(
         collect_metrics=False,
         with_change_log=False,
         whitelist=whitelist,
+        # a pipeline validating token ranges must keep validating them
+        # on the repair path — otherwise token_out_of_vocab quarantine
+        # rows would re-apply UNVALIDATED once any other rule is fixed
+        vocab_size=vocab_size,
     )
     residue = pipe.quarantine.read(spark).filter(F.col("batch_id") == batch_id)
     pipe.quarantine.overwrite(residue, operation=f"reprocess(batch={batch_id})")
@@ -607,7 +653,6 @@ def reprocess_quarantine(
 def replay(
     pipe: CdcPipeline,
     feed: DataFrame,
-    num_batches: int | None = None,
     salted_lww: bool = False,
     collect_metrics: bool = True,
     with_change_log: bool = True,
@@ -615,10 +660,13 @@ def replay(
     persist_source: bool = False,
 ) -> list[dict[str, Any]]:
     """Batch-mode replay of a whole feed, honoring its ``batch`` column
-    (or as one batch).  Used by tests and bench; the streaming path in
-    ``horizon_etl_spark.streaming.runner`` uses the same kernel."""
+    (feeds without one apply as a single batch 0).  Used by tests and
+    bench; the streaming path in ``horizon_etl_spark.streaming.runner``
+    uses the same kernel.  (An earlier ``num_batches`` parameter that
+    silently DISABLED batch splitting when set was removed — drop the
+    ``batch`` column instead to force single-batch apply.)"""
     results = []
-    if num_batches is None and "batch" in feed.columns:
+    if "batch" in feed.columns:
         batch_ids = sorted(
             r["batch"] for r in feed.select("batch").distinct().collect()
         )
@@ -741,21 +789,24 @@ def bootstrap(
         operation="bootstrap",
         props={"bootstrap_lsn": as_of_lsn},
     )
-    counts = obs.get
-    input_rows = int(counts["input_rows"] or 0)
-    loaded = int(counts["valid_rows"] or 0)
+    # same degenerate-plan fallback as apply_batch/merge: if Catalyst
+    # elided the CollectMetrics node, recompute directly — this runs
+    # AFTER the overwrite commit, so raising here would strand a
+    # non-empty target behind bootstrap's empty-target precondition
+    try:
+        counts = obs.get
+        input_rows = int(counts["input_rows"] or 0)
+        loaded = int(counts["valid_rows"] or 0)
+    except Exception:
+        row = tagged.agg(
+            F.count(F.lit(1)).alias("i"),
+            F.sum(F.when(F.col("_reason").isNull(), 1).otherwise(0)).alias("v"),
+        ).collect()[0]
+        input_rows, loaded = int(row["i"] or 0), int(row["v"] or 0)
     if input_rows > loaded:
         _write_quarantine(pipe, tagged, BOOTSTRAP_BATCH_ID, attr_mode, input_rows)
     if with_rollup:
-        rebuilt = pipe.target.read(spark).groupBy("source").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).cast("long").alias("total_tokens"),
-        )
-        pipe.rollup.overwrite(
-            rebuilt,
-            operation="rollup(bootstrap)",
-            props={"synced_target_version": version},
-        )
+        _rebuild_rollup(pipe, spark, version, "rollup(bootstrap)")
     run = {
         "batch_id": BOOTSTRAP_BATCH_ID,
         "started_at": started,

@@ -50,7 +50,10 @@ def _rules(
         ("bad_op", ~F.col("op").isin(*VALID_OPS) | F.col("op").isNull()),
         ("empty_tokens", ~is_del & asserts("tokens") & (F.col("tokens").isNull() | (F.size("tokens") == 0))),
         ("n_tok_mismatch", ~is_del & asserts("tokens") & asserts("n_tok") & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))),
-        ("bad_source", ~is_del & asserts("source") & ~F.col("source").isin(*whitelist)),
+        # explicit isNull arm: `~null.isin(...)` is NULL, and a NULL
+        # predicate falls through the reason CASE — without it a
+        # null-source insert would silently pass the whitelist
+        ("bad_source", ~is_del & asserts("source") & (F.col("source").isNull() | ~F.col("source").isin(*whitelist))),
     ]
     if vocab_size is not None:
         hi = int(vocab_size)

@@ -439,7 +439,13 @@ class LakeTable:
                     "operation": s.get("operation"),
                     "summary": s.get("summary", {}),
                     "files": len(s["files"]),
-                    "rows": sum(f.get("rows") or 0 for f in s["files"]),
+                    # honor the snapshot's declared stats scheme — a
+                    # scheme-1 manifest repeats bucket rows per file,
+                    # and a raw sum would inflate the view
+                    "rows": _distinct_bucket_rows(
+                        [FileEntry.from_json(f) for f in s["files"]],
+                        int(s.get("stats_version", STATS_FILE_ROWS)),
+                    ),
                 }
             )
         return out
@@ -852,7 +858,12 @@ class LakeTable:
                 )
         for f in new_schema.fields:
             if f.name not in old_names:
-                merged.append(f)
+                # force nullable regardless of the source field: old
+                # data files lack the column and scan as null, so a
+                # non-null table schema would let Catalyst's
+                # null-constraint propagation fold isNotNull filters
+                # to true over pre-evolution rows
+                merged.append(StructField(f.name, f.dataType, True))
         version = snap["version"] + 1
         self._commit(
             version,
@@ -1269,7 +1280,9 @@ class LakeTable:
         spark = batch.sparkSession
         key = snap["key_col"]
         nb = snap["bucket_count"]
-        assert key is not None, "merge requires a keyed table"
+        if key is None:
+            # ValueError, not assert: asserts vanish under `python -O`
+            raise ValueError("merge requires a keyed table")
 
         # --- additive schema evolution from batch payload columns
         payload_cols = [c for c in batch.columns if c not in (op_col, lsn_col)]
@@ -1319,13 +1332,17 @@ class LakeTable:
         # Cache the join ONLY when a second consumer re-reads it — the
         # in-call change-log sink append, or (persist_join=True from
         # the caller) the returned change-image frame, which a rollup
-        # maintainer evaluates moments later against the still-warm
-        # cache (unpersist below is non-blocking).  On the lineage-off
-        # throughput path the data write is the single pass, and
-        # pushing ~2 copies of every token array per batch through the
-        # memory bus just to fill a cache nobody reads is pure
-        # overhead; the rare degenerate stats fallback simply
-        # recomputes.
+        # maintainer evaluates AFTER this call returns.  An explicit
+        # persist_join=True therefore transfers unpersist ownership to
+        # the caller via the returned ``persisted_join`` handle —
+        # unpersisting here would drop the cache entry before the
+        # caller's consumer plans against it, recomputing the join.
+        # On the lineage-off throughput path the data write is the
+        # single pass, and pushing ~2 copies of every token array per
+        # batch through the memory bus just to fill a cache nobody
+        # reads is pure overhead; the rare degenerate stats fallback
+        # simply recomputes.
+        caller_owns_join = persist_join is True
         if persist_join is None:
             persist_join = change_log_sink is not None
         j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer")
@@ -1438,7 +1455,7 @@ class LakeTable:
             stats_row = j.agg(
                 *[e.alias(k) for k, e in stat_exprs.items()]
             ).collect()[0].asDict()
-        if persist_join:
+        if persist_join and not caller_owns_join:
             j.unpersist()
 
         summary = {
@@ -1477,6 +1494,10 @@ class LakeTable:
             "rewritten_files": len(rewrite_files),
             "carried_files": len(carry_files),
             "change_log": change_log,
+            # non-None iff the caller passed persist_join=True: the
+            # still-cached join backing change_log — caller unpersists
+            # after its last consumer
+            "persisted_join": j if caller_owns_join else None,
         }
 
     # ----------------------------------------------------------- merge_attrs
@@ -1528,7 +1549,8 @@ class LakeTable:
         :meth:`merge`'s) so downstream rollup maintenance is mode-
         agnostic."""
         snap = self.snapshot()
-        assert snap.get("attr_lww"), "merge_attrs requires an attr_lww table"
+        if not snap.get("attr_lww"):
+            raise ValueError("merge_attrs requires an attr_lww table")
         spark = winners.sparkSession
         key = snap["key_col"]
         nb = snap["bucket_count"]
@@ -1620,7 +1642,9 @@ class LakeTable:
         # same conditional-cache rule as merge(): persist only when the
         # sink append or the caller's change-image consumer re-reads j;
         # the lineage-off path's single write pass should not pay a
-        # cache fill of every token array
+        # cache fill of every token array.  Explicit persist_join=True
+        # transfers unpersist ownership to the caller (see merge()).
+        caller_owns_join = persist_join is True
         if persist_join is None:
             persist_join = change_log_sink is not None
         j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer").select(
@@ -1792,7 +1816,7 @@ class LakeTable:
             stats_row = j.agg(
                 *[e.alias(k) for k, e in stat_exprs.items()]
             ).collect()[0].asDict()
-        if persist_join:
+        if persist_join and not caller_owns_join:
             j.unpersist()
 
         summary = {
@@ -1831,6 +1855,9 @@ class LakeTable:
             "rewritten_files": len(rewrite_files),
             "carried_files": len(carry_files),
             "change_log": row_images,
+            # see merge(): caller-owned cache handle when persist_join
+            # was explicitly requested
+            "persisted_join": j if caller_owns_join else None,
         }
 
     # ------------------------------------------------------------ overwrite
@@ -1923,7 +1950,8 @@ class LakeTable:
         afterwards."""
         import time
 
-        assert keep_versions >= 1
+        if keep_versions < 1:
+            raise ValueError("vacuum keep_versions must be >= 1")
         cutoff = time.time() - min_age_seconds
         versions = sorted(
             int(fn[1:-5])
@@ -2004,7 +2032,8 @@ class LakeTable:
         effect of a merge."""
         snap = self.snapshot()
         key = snap["key_col"]
-        assert key is not None, "rebucket requires a keyed table"
+        if key is None:
+            raise ValueError("rebucket requires a keyed table")
         schema = StructType.fromJson(snap["schema"])
         df = self.read(spark, include_meta=True).withColumn(
             BUCKET_COL, bucket_expr(key, new_bucket_count)
@@ -2051,7 +2080,8 @@ class LakeTable:
         small-file pass shouldn't silently change delete semantics."""
         snap = self.snapshot()
         key = snap["key_col"]
-        assert key is not None, "compact_buckets requires a keyed table"
+        if key is None:
+            raise ValueError("compact_buckets requires a keyed table")
         schema = StructType.fromJson(snap["schema"])
         all_files = [FileEntry.from_json(f) for f in snap["files"]]
         per_bucket: dict[int, int] = {}

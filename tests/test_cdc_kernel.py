@@ -186,3 +186,22 @@ def test_feed_defeats_partial_agg_single_key_only(spark):
         df.repartition(8, F.col("lsn"), F.col("doc_id")), "doc_id"
     )
     assert not _feed_defeats_partial_agg(df, "doc_id")  # round-robin
+
+
+def test_null_source_quarantined(spark):
+    """`~null.isin(whitelist)` is NULL and a NULL predicate falls
+    through the reason CASE — the rule needs an explicit isNull arm or
+    a null-source insert silently passes the whitelist."""
+    feed = spark.createDataFrame(
+        [
+            ("insert", "a", 1, [1], 1, None),
+            ("insert", "b", 2, [1], 1, "wiki"),
+        ],
+        "op string, doc_id string, lsn long, tokens array<int>, "
+        "n_tok int, source string",
+    )
+    valid, quar = split_valid(feed)
+    assert [r["doc_id"] for r in valid.collect()] == ["b"]
+    assert [(r["doc_id"], r["reason"]) for r in quar.collect()] == [
+        ("a", "bad_source")
+    ]

@@ -124,6 +124,33 @@ def test_change_log_new_feed_restarting_batch_ids_still_logged(spark, tmp_table_
     assert pipe.change_log.read(spark).count() > before
 
 
+def test_quarantine_new_feed_same_batch_id_still_written(spark, tmp_table_dir):
+    """The quarantine redelivery dedup is CONTENT-fingerprinted: a new
+    feed whose numbering restarts at the last batch id (even with the
+    same input row count) carries different bad rows and must append —
+    while an exact redelivery of the same batch still dedups."""
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    shape = (
+        "op string, doc_id string, lsn long, tokens array<int>, n_tok int, "
+        "source string, ts timestamp"
+    )
+    f1 = spark.createDataFrame(
+        [("insert", "a", 1, [1], 1, "darkweb", None),
+         ("insert", "b", 2, [2], 1, "wiki", None)], shape
+    )
+    apply_batch(pipe, f1, batch_id=0)
+    assert pipe.quarantine.read(spark).count() == 1
+    apply_batch(pipe, f1, batch_id=0)  # exact redelivery: deduped
+    assert pipe.quarantine.read(spark).count() == 1
+    f2 = spark.createDataFrame(
+        [("insert", "c", 3, [3], 1, "darkweb", None),
+         ("insert", "d", 4, [4], 1, "wiki", None)], shape
+    )
+    apply_batch(pipe, f2, batch_id=0)  # new feed, same id + row count
+    got = {r["doc_id"] for r in pipe.quarantine.read(spark).collect()}
+    assert got == {"a", "c"}
+
+
 def test_reprocess_rejects_stale_batch_id(spark, tmp_table_dir):
     import pytest
 

@@ -82,3 +82,31 @@ def test_chaos_evolution_restart_out_of_order_stream(spark, tmp_table_dir):
         for r in runs
     )
     assert total_in == total_accounted
+
+
+def test_evolved_column_is_forced_nullable(spark, tmp_table_dir):
+    """A new column arriving as a non-nullable field (e.g. F.lit)
+    must be appended NULLABLE: old files scan it as null, and a
+    non-null table schema would let Catalyst fold isNotNull filters
+    to true over pre-evolution rows."""
+    from pyspark.sql.types import StructField, StructType
+
+    from horizon_etl_spark.tables import lake as L
+
+    feed = evolved_feed(spark, 500, 50, num_batches=2)
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
+    from horizon_etl_spark.cdc.apply import apply_batch
+
+    apply_batch(pipe, feed.filter(F.col("batch") == 0).drop("batch", "lang"), 0)
+    snap = pipe.target.snapshot()
+    old_schema = StructType.fromJson(snap["schema"])
+    evolved = StructType(
+        old_schema.fields + [StructField("derived", L.LongType(), False)]
+    )
+    pipe.target.evolve_schema(evolved)
+    new_field = StructType.fromJson(pipe.target.snapshot()["schema"])["derived"]
+    assert new_field.nullable is True
+    # old rows read the column as null AND the filter sees them as null
+    out = pipe.target.read(spark)
+    assert out.filter(F.col("derived").isNotNull()).count() == 0
+    assert out.filter(F.col("derived").isNull()).count() == out.count()

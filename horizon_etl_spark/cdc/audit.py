@@ -46,6 +46,12 @@ AUDIT_SCHEMA = StructType(
         StructField("metric", StringType(), True),
         StructField("dup_groups", LongType(), True),
         StructField("created_at", TimestampType(), True),
+        # monotonic recording sequence (the audit table's commit
+        # version): a RETRIED step re-records the same (step_id, metric)
+        # with corrected counts, and diff() must deterministically see
+        # the LATEST recording — wall-clock created_at can tie, the
+        # commit version cannot
+        StructField("seq", LongType(), True),
     ]
 )
 
@@ -119,6 +125,10 @@ class StepAuditor:
             if LakeTable.exists(path)
             else LakeTable.create(path, AUDIT_SCHEMA)
         )
+        # additive migration for audit tables recorded before the seq
+        # column existed (their old rows read back as seq=null → oldest)
+        if "seq" not in {f.name for f in self.table.schema().fields}:
+            self.table.evolve_schema(AUDIT_SCHEMA, operation="evolve(audit-seq)")
 
     def record_step(
         self,
@@ -129,6 +139,7 @@ class StepAuditor:
     ) -> dict[str, int]:
         summary = duplicate_summary(df, metrics)
         now = datetime.now(timezone.utc).replace(tzinfo=None)
+        seq = int(self.table.snapshot()["version"]) + 1  # version this append creates
         self.table.append_rows(
             [
                 {
@@ -137,6 +148,7 @@ class StepAuditor:
                     "metric": m,
                     "dup_groups": n,
                     "created_at": now,
+                    "seq": seq,
                 }
                 for m, n in summary.items()
             ],
@@ -145,15 +157,23 @@ class StepAuditor:
         return summary
 
     def _summary_at(self, spark: SparkSession, step_id: int) -> dict[str, int] | None:
+        """Latest recording wins per (step, metric): a retried step
+        re-records with corrected counts and the stale rows must never
+        be picked (they would make diff() nondeterministic)."""
         rows = (
             self.table.read(spark)
             .filter(F.col("step_id") == step_id)
-            .select("metric", "dup_groups")
+            .select("metric", "dup_groups", "seq")
             .collect()
         )
         if not rows:
             return None
-        return {r["metric"]: int(r["dup_groups"]) for r in rows}
+        best: dict[str, tuple[int, int]] = {}
+        for r in rows:
+            seq = -1 if r["seq"] is None else int(r["seq"])
+            if r["metric"] not in best or seq > best[r["metric"]][0]:
+                best[r["metric"]] = (seq, int(r["dup_groups"]))
+        return {m: n for m, (_, n) in best.items()}
 
     def diff(self, spark: SparkSession, step_id: int, origin: str | None = None) -> list[dict[str, Any]]:
         """Warnings for ``step_id`` vs the latest earlier recorded step

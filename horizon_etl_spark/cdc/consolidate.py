@@ -94,10 +94,32 @@ def consolidate(
 
     ``lsn`` must exceed every lsn already applied to the touched rows
     (callers use the table's high-watermark + 1); re-running with the
-    same mapping+lsn is a no-op (idempotent)."""
+    same mapping+lsn is a no-op (idempotent).
+
+    Ordering: lineage is written FIRST.  The merges tombstone the losers,
+    so a crash after them leaves a recomputed mapping EMPTY — lineage
+    written last would be lost forever.  Written first it survives any
+    crash, and the ``consolidation_lsn_applied`` high-watermark carried
+    in the lineage table's props makes the append itself idempotent
+    (same contract as the change-log batch watermark), so the documented
+    re-run-to-recover move never duplicates lineage rows."""
     spark = mapping.sparkSession
     mapping = mapping.persist()
     n_losers = mapping.count()  # materialize once; also the lineage row count
+
+    if lineage is not None and n_losers > 0:
+        applied = int(lineage.props.get("consolidation_lsn_applied", -1))
+        if lsn > applied:
+            lineage.append(
+                mapping.select(
+                    "canonical_name",
+                    "winner_id",
+                    "loser_id",
+                    F.lit(lsn).cast("long").alias("lsn"),
+                ),
+                operation="consolidation",
+                props={"consolidation_lsn_applied": str(lsn)},
+            )
 
     rewritten = 0
     if refs_table is not None:
@@ -123,17 +145,6 @@ def consolidate(
         F.lit(lsn).cast("long").alias("lsn"),
     )
     del_stats = entity_table.merge(losers)
-
-    if lineage is not None:
-        lineage.append(
-            mapping.select(
-                "canonical_name",
-                "winner_id",
-                "loser_id",
-                F.lit(lsn).cast("long").alias("lsn"),
-            ),
-            operation="consolidation",
-        )
     mapping.unpersist()
     return {
         "merges": n_losers,

@@ -26,16 +26,6 @@ import difflib
 
 from pyspark.sql import DataFrame, functions as F
 
-# resolution strategies, strongest first (reference ladder scores
-# 500/400/.../150, researcher_resolution.py:119-165 — here carried as
-# confidence percentages like entity_match.match_confidence)
-STRATEGIES = (
-    ("exact_name", 100),
-    ("normalized_name", 95),
-    ("token_sort", 90),
-)
-
-
 def norm_name(col: F.Column) -> F.Column:
     """lower + collapse whitespace (cheap JVM normalization; full
     unicode strip lives in the F1/F2 pandas UDF when needed)."""
@@ -46,6 +36,19 @@ def token_sort_key(col: F.Column) -> F.Column:
     """Sorted-token canonical form: two names with the same tokens in
     any order collide — token_sort_ratio == 100 as an equi-join."""
     return F.array_join(F.array_sort(F.split(norm_name(col), " ")), " ")
+
+
+# resolution ladder, strongest first: (strategy, confidence, join-key
+# expression).  The reference scores 500/400/.../150
+# (researcher_resolution.py:119-165); carried here as confidence
+# percentages like entity_match.match_confidence.  This single tuple
+# drives resolve_entities' joins, strategy CASE, confidence CASE and
+# coalesce — add or re-weight a stage in ONE place.
+STRATEGIES = (
+    ("exact_name", 100, lambda c: c),
+    ("normalized_name", 95, norm_name),
+    ("token_sort", 90, token_sort_key),
+)
 
 
 def _dedup_registry(registry: DataFrame, id_col: str, key: F.Column) -> DataFrame:
@@ -77,34 +80,21 @@ def resolve_entities(
     entities are only *created* by loaders that own the registry;
     resolution alone never invents ids)."""
     maybe_b = F.broadcast if broadcast_registry else (lambda df: df)
-    stages = [
-        ("exact_name", 100, F.col(reg_name), F.col(src_name)),
-        ("normalized_name", 95, norm_name(F.col(reg_name)), norm_name(F.col(src_name))),
-        ("token_sort", 90, token_sort_key(F.col(reg_name)), token_sort_key(F.col(src_name))),
-    ]
     out = src
-    for sname, _conf, reg_key, src_key in stages:
-        reg = maybe_b(_dedup_registry(registry, reg_id, reg_key))
+    for sname, _conf, key_fn in STRATEGIES:
+        reg = maybe_b(_dedup_registry(registry, reg_id, key_fn(F.col(reg_name))))
         out = out.join(
             reg.withColumnRenamed("_cid", f"_cid_{sname}"),
-            src_key == F.col("_k"),
+            key_fn(F.col(src_name)) == F.col("_k"),
             "left",
         ).drop("_k")
-    strategy = (
-        F.when(F.col("_cid_exact_name").isNotNull(), "exact_name")
-        .when(F.col("_cid_normalized_name").isNotNull(), "normalized_name")
-        .when(F.col("_cid_token_sort").isNotNull(), "token_sort")
-        .otherwise("unresolved")
-    )
-    confidence = (
-        F.when(F.col("_cid_exact_name").isNotNull(), 100)
-        .when(F.col("_cid_normalized_name").isNotNull(), 95)
-        .when(F.col("_cid_token_sort").isNotNull(), 90)
-        .cast("long")
-    )
-    canonical = F.coalesce(
-        F.col("_cid_exact_name"), F.col("_cid_normalized_name"), F.col("_cid_token_sort")
-    )
+    hits = [(F.col(f"_cid_{sname}"), sname, conf) for sname, conf, _ in STRATEGIES]
+    strategy = F.lit("unresolved")
+    confidence = F.lit(None).cast("long")
+    for hit, sname, conf in reversed(hits):
+        strategy = F.when(hit.isNotNull(), sname).otherwise(strategy)
+        confidence = F.when(hit.isNotNull(), conf).otherwise(confidence)
+    canonical = F.coalesce(*[hit for hit, _, _ in hits])
     return out.select(
         *[c for c in src.columns],
         canonical.alias("canonical_id"),
@@ -129,6 +119,7 @@ def fuzzy_resolve_blocked(
     reg_name: str = "name",
     reg_id: str = "cid",
     threshold: int = 90,
+    broadcast_registry: bool = True,
 ) -> DataFrame:
     """Stage-4 fuzzy resolution for rows the exact ladder left
     unresolved: block on the first normalized token (cheap equi-join —
@@ -136,6 +127,11 @@ def fuzzy_resolve_blocked(
     candidate pair with token_sort_ratio in an Arrow-batched pandas
     UDF, keep the best score >= threshold per source row (ties → lowest
     registry id).
+
+    ``broadcast_registry=False`` (same opt-out as ``resolve_entities``)
+    switches the candidate join to a shuffle on the block key for
+    registries too large to broadcast — the blocking still bounds
+    fan-out either way.
 
     Returns one row per resolved source ROW: src columns +
     canonical_id, match_strategy='fuzzy', match_confidence=score.  The
@@ -165,10 +161,11 @@ def fuzzy_resolve_blocked(
     )
     # _rid is assigned BEFORE the candidate join and only disambiguates
     # rows within this one plan execution — it never leaves the query
+    maybe_b = F.broadcast if broadcast_registry else (lambda df: df)
     cand = (
         src.withColumn("_rid", F.monotonically_increasing_id())
         .withColumn("_blk", block(F.col(src_name)))
-        .join(F.broadcast(reg), "_blk")
+        .join(maybe_b(reg), "_blk")
     )
     scored = cand.withColumn(
         "_score", score(norm_name(F.col(src_name)), norm_name(F.col("_rname")))

@@ -50,6 +50,13 @@ def _rules(
         ("bad_op", ~F.col("op").isin(*VALID_OPS) | F.col("op").isNull()),
         ("empty_tokens", ~is_del & asserts("tokens") & (F.col("tokens").isNull() | (F.size("tokens") == 0))),
         ("n_tok_mismatch", ~is_del & asserts("tokens") & asserts("n_tok") & (F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")))),
+        # a null ELEMENT inside tokens is never a valid token id — it is
+        # the signature of a malformed wire cell surviving a lenient
+        # decode (the CSV/xlsx wires try_cast each element; "1 2 x"
+        # becomes [1, 2, null]).  Without this rule such a row would
+        # MERGE a null into the token arrays the north-rule equality
+        # invariant is defined over.  F.exists short-circuits JVM-side.
+        ("null_token", ~is_del & asserts("tokens") & F.exists("tokens", lambda x: x.isNull())),
         # explicit isNull arm: `~null.isin(...)` is NULL, and a NULL
         # predicate falls through the reason CASE — without it a
         # null-source insert would silently pass the whitelist

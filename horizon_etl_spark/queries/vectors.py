@@ -133,6 +133,10 @@ def knn_lsh(
             "_norm",
             F.posexplode("_buckets").alias("table_id", "bucket"),
         )
+        # buckets feed BOTH sides of the self-join below; without the
+        # checkpoint each side re-runs the Arrow bucket UDF + norm fold
+        # over the full table (2× the most expensive stage)
+        .localCheckpoint(eager=False)
     )
     q = b.select(
         F.col("vec_id").alias("qid"),
@@ -310,8 +314,13 @@ def embedding_near_dup_lsh(
     label-blocked oracle twin above."""
     u = _near_dup_universe(spark, sf_dir)
     bucket_ids = lsh_bucket_udf(num_tables, planes_per_table)
-    b = u.withColumn("_buckets", bucket_ids(F.col("v"))).select(
-        "vec_id", "v", "_n", F.posexplode("_buckets").alias("table_id", "bucket")
+    b = (
+        u.withColumn("_buckets", bucket_ids(F.col("v")))
+        .select(
+            "vec_id", "v", "_n", F.posexplode("_buckets").alias("table_id", "bucket")
+        )
+        # computed once for both self-join sides (see knn_lsh)
+        .localCheckpoint(eager=False)
     )
     a_side = b.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),

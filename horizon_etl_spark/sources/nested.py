@@ -74,26 +74,48 @@ def family_frame(
     )
 
 
+class FamilyFrames(dict):
+    """dict of family-name → DataFrame, plus ``unpersist()`` for the
+    shared-parse intermediate (no-op in independent-parse mode).  The
+    persisted parse of the FULL corpus would otherwise pin executor
+    memory/disk for the rest of the application with no public handle
+    to release it."""
+
+    def __init__(self, frames: dict[str, DataFrame], parsed: DataFrame | None = None):
+        super().__init__(frames)
+        self.parsed = parsed
+
+    def unpersist(self, blocking: bool = False) -> "FamilyFrames":
+        if self.parsed is not None:
+            self.parsed.unpersist(blocking)
+        return self
+
+
 def family_frames(
     docs: DataFrame,
     json_col: str,
     schema: str,
     families: dict[str, Family],
     shared_parse: bool = False,
-) -> dict[str, DataFrame]:
+) -> FamilyFrames:
     """All families of one document table.  Default: independent
     pruned parses (the 100 TB shape — each family's scan decodes only
     its subtree).  ``shared_parse=True``: parse once into a persisted
     intermediate every family selects from (the one-job backfill
-    shape); the caller owns unpersisting via the returned frames'
-    lineage."""
+    shape); call ``.unpersist()`` on the returned mapping when the
+    backfill job is done."""
     if not shared_parse:
-        return {
-            name: family_frame(docs, json_col, schema, fam)
-            for name, fam in families.items()
-        }
+        return FamilyFrames(
+            {
+                name: family_frame(docs, json_col, schema, fam)
+                for name, fam in families.items()
+            }
+        )
     parsed = docs.select(F.from_json(F.col(json_col), schema).alias("_doc")).persist()
-    return {
-        name: family_frame(parsed, "_doc", schema, fam, pre_parsed=True)
-        for name, fam in families.items()
-    }
+    return FamilyFrames(
+        {
+            name: family_frame(parsed, "_doc", schema, fam, pre_parsed=True)
+            for name, fam in families.items()
+        },
+        parsed=parsed,
+    )

@@ -193,19 +193,51 @@ def decoded_cols(logical: StructType) -> list:
     return cols
 
 
+def _record_corrupt(corrupt_dir: str | None, path: str, err: Exception) -> None:
+    """Executor-side corrupt-file marker: one small JSON per bad drop,
+    named by a hash of the source path so checkpoint REDELIVERY of the
+    same batch rewrites the same marker (idempotent, like the kernel's
+    MERGE).  ``corrupt_dir`` is on the same shared filesystem as the
+    lake/checkpoint, so no driver round-trip is needed."""
+    import hashlib
+    import json
+    import os
+    import sys
+
+    print(f"xlsx_feed: skipping corrupt drop {path}: {err!r}", file=sys.stderr)
+    if not corrupt_dir:
+        return
+    os.makedirs(corrupt_dir, exist_ok=True)
+    name = hashlib.sha256(path.encode()).hexdigest()[:24]
+    tmp = os.path.join(corrupt_dir, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"path": path, "error": repr(err)}, fh)
+    os.replace(tmp, os.path.join(corrupt_dir, f"{name}.json"))
+
+
 def xlsx_feed(
     spark: SparkSession,
     input_dir: str,
     logical_schema: StructType,
     max_files_per_trigger: int | None = None,
     streaming: bool = True,
+    corrupt_dir: str | None = None,
 ) -> DataFrame:
     """Change-feed DataFrame over ``*.xlsx`` drops in ``input_dir``.
 
     ``binaryFile`` source (streaming or batch) → ``mapInPandas`` parse
     (per-file Python, Arrow-batched) → JVM-side cast to the logical
     schema.  Header names select columns, so column order in the
-    workbook is free and unknown extra columns are ignored."""
+    workbook is free and unknown extra columns are ignored.
+
+    Per-FILE error containment (T9, quarantine-not-abort): a truncated
+    upload or renamed non-zip raises inside the parse; without
+    containment the micro-batch fails and checkpoint redelivery re-fails
+    on the same file forever — a permanent poison pill.  Instead each
+    corrupt drop is skipped, logged to executor stderr, and (when
+    ``corrupt_dir`` is set — ``run_stream`` points it inside the
+    checkpoint dir) recorded as a dead-letter marker an operator can
+    sweep."""
     import pandas as pd
 
     wire = wire_schema(logical_schema)
@@ -214,9 +246,12 @@ def xlsx_feed(
     def _parse(batches):
         for pdf in batches:
             recs = []
-            for content in pdf["content"]:
-                for rec in iter_records(bytes(content)):
-                    recs.append([rec.get(n) for n in wire_names])
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    for rec in iter_records(bytes(content)):
+                        recs.append([rec.get(n) for n in wire_names])
+                except Exception as err:  # malformed drop: contain, don't wedge
+                    _record_corrupt(corrupt_dir, str(path), err)
             yield pd.DataFrame(recs, columns=wire_names, dtype=object)
 
     reader = (spark.readStream if streaming else spark.read).format("binaryFile")
@@ -231,7 +266,7 @@ def xlsx_feed(
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(input_dir)
     return (
-        raw.select("content")
+        raw.select("path", "content")
         .mapInPandas(_parse, schema=wire)
         .select(*decoded_cols(logical_schema))
     )

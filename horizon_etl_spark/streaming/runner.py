@@ -60,57 +60,25 @@ def run_stream(
         feed = reader.json(input_dir)
     elif feed_format == "csv":
         # flat-file drops (reference S1 Excel/CSV ingest,
-        # project_loader.py:79-93); array<int> columns arrive as a text
-        # field "1 2 3" and are decoded JVM-side.  The wire schema is
-        # DERIVED from the logical feed schema (feed_schema or the
-        # default), so the schema-evolution restart handoff documented
-        # above works for CSV feeds too: each array<int> column becomes
-        # ``<name>_txt string`` at the same position; other columns keep
-        # their type.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import (
-            ArrayType,
-            StringType,
-            StructField,
-            StructType,
-        )
+        # project_loader.py:79-93).  The wire is the SAME all-string
+        # convention as the .xlsx feed (one shared implementation in
+        # sources/xlsx.py: each array<T> column rides as ``<name>_txt``
+        # space-joined text, everything decodes JVM-side with try_cast —
+        # a malformed producer cell surfaces as null and is quarantined
+        # by the validators, never aborts the stream under Spark 4's
+        # ANSI mode).  Derived from the logical feed schema, so the
+        # schema-evolution restart handoff documented above works for
+        # CSV feeds too.  CSV cannot distinguish null from an EMPTY
+        # array (both round-trip as an empty cell → null): per-attribute
+        # feeds that use `fields = []` (assert nothing) need a typed
+        # feed format (parquet/json).
+        from horizon_etl_spark.sources.xlsx import decoded_cols, wire_schema
 
         logical = feed_schema or CHANGE_FEED_SCHEMA
-        wire_fields, decoded_cols = [], []
-
-        def _caster(t):
-            # closure, NOT a default-arg lambda: pyspark HOF lambdas
-            # must have pure 1-2 positional-arg signatures
-            return lambda x: x.cast(t)
-
-        for fld in logical.fields:
-            if isinstance(fld.dataType, ArrayType):
-                # every array column rides the wire as space-joined text
-                # (element values must not contain spaces — true for
-                # tokens (ints) and fields (column names)).  CSV cannot
-                # distinguish null from an EMPTY array (both round-trip
-                # as an empty cell → null): per-attribute feeds that use
-                # `fields = []` (assert nothing) need a typed feed
-                # format (parquet/json)
-                elem = fld.dataType.elementType
-                wire_fields.append(StructField(f"{fld.name}_txt", StringType(), True))
-                decoded_cols.append(
-                    F.when(
-                        F.col(f"{fld.name}_txt").isNotNull()
-                        & (F.length(f"{fld.name}_txt") > 0),
-                        F.transform(
-                            F.split(f"{fld.name}_txt", " "),
-                            _caster(elem.simpleString()),
-                        ),
-                    ).alias(fld.name)
-                )
-            else:
-                wire_fields.append(fld)
-                decoded_cols.append(F.col(fld.name))
-        raw = spark.readStream.schema(StructType(wire_fields)).option("header", "false")
+        raw = spark.readStream.schema(wire_schema(logical)).option("header", "false")
         if max_files_per_trigger is not None:
             raw = raw.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        feed = raw.csv(input_dir).select(*decoded_cols)
+        feed = raw.csv(input_dir).select(*decoded_cols(logical))
     elif feed_format == "xlsx":
         # binary Excel drops (S1): real .xlsx workbooks parsed with the
         # stdlib OOXML reader, per-file inside mapInPandas — see
@@ -123,6 +91,9 @@ def run_stream(
             input_dir,
             feed_schema or CHANGE_FEED_SCHEMA,
             max_files_per_trigger=max_files_per_trigger,
+            # dead-letter markers for corrupt drops live with the
+            # checkpoint (same shared fs, same job scope)
+            corrupt_dir=f"{checkpoint_dir}/_corrupt_xlsx",
         )
     else:
         feed = reader.parquet(input_dir)
@@ -176,8 +147,22 @@ def run_stream_with_retry(
     kernel's idempotent MERGE this keeps exactly-once across retries.
     After ``max_retries`` failed restarts the last error propagates
     (crash containment: the orchestrator decides, reference
-    weekly_orchestrator.py:1-40)."""
+    weekly_orchestrator.py:1-40).
+
+    Requires the drain-and-return trigger: with ``available_now=False``
+    ``run_stream`` returns a live StreamingQuery immediately and a later
+    source outage kills it ASYNCHRONOUSLY — no exception would ever
+    reach this wrapper, so it would silently provide zero retry
+    coverage.  A live tail needs an external supervisor (the
+    orchestrator); refuse rather than pretend."""
     import time
+
+    if kwargs.get("available_now") is False:
+        raise ValueError(
+            "run_stream_with_retry requires available_now=True; a live "
+            "tail's failures are asynchronous and must be supervised by "
+            "the orchestrator, not this wrapper"
+        )
 
     sleep = sleep_fn or time.sleep
     attempt = 0

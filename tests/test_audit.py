@@ -75,3 +75,31 @@ def test_step_auditor_diffs_consecutive_steps(spark, tmp_table_dir):
     # snapshots persist: a reloaded auditor sees the same history
     aud2 = StepAuditor(root)
     assert aud2.diff(spark, 1, origin="merge_members") == w
+
+
+def test_retried_step_rerecord_wins_deterministically(spark, tmp_table_dir):
+    """A retried step re-records the same step_id with corrected
+    counts; diff() must always see the LATEST recording, never a
+    partition-order-dependent stale row."""
+    aud = StepAuditor(tmp_table_dir)
+    aud.record_step(1, "load", _people(spark, [("a", "x"), ("b", "y")]), METRICS)
+    # first (failed) attempt at step 2 saw bad data: 1 name-dup group
+    aud.record_step(
+        2, "enrich",
+        _people(spark, [("a", "x"), ("a", "y"), ("b", "z")]), METRICS,
+    )
+    # retry of step 2 after the fix: no duplicates
+    aud.record_step(
+        2, "enrich",
+        _people(spark, [("a", "x"), ("b", "y"), ("c", "z")]), METRICS,
+    )
+    assert aud.diff(spark, 2) == []  # latest recording wins → no warning
+    assert aud._summary_at(spark, 2) == {"name_dups": 0, "email_dups": 0}
+    # and a later step diffs against the RETRIED step-2 counts
+    aud.record_step(
+        3, "merge",
+        _people(spark, [("a", "x"), ("a", "y")]), METRICS,
+    )
+    warns = aud.diff(spark, 3)
+    assert [w["code"] for w in warns] == ["duplicate_count_increased"]
+    assert warns[0]["before"] == 0 and warns[0]["after"] == 1

@@ -168,3 +168,35 @@ def test_crash_between_rewrite_and_tombstone_converges(spark, tmp_table_dir):
     assert alive == {2, 4, 5, 6}
     owners = {r["ref_id"]: r["entity_id"] for r in refs.read(spark).collect()}
     assert owners == {100: 2, 101: 2, 102: 2, 103: 4, 104: 6}
+
+
+def test_lineage_idempotent_and_crash_safe(spark, tmp_table_dir):
+    """Lineage is written BEFORE the destructive merges and carries an
+    lsn high-watermark: the documented re-run-to-recover move must not
+    duplicate lineage rows, and a crash AFTER the tombstone merge (when
+    a recomputed mapping is empty) must not lose the merge record."""
+    ent, refs, lineage = build(spark, tmp_table_dir)
+    mapping = consolidation_mapping(
+        ent.read(spark), id_col="id", name_col="name",
+        quality_col="quality", conflict_col="ident",
+    ).persist()
+
+    consolidate(ent, mapping, lsn=1000, refs_table=refs,
+                ref_col="entity_id", lineage=lineage)
+    # re-run with the SAME mapping+lsn (recovery replay): no duplicates
+    consolidate(ent, mapping, lsn=1000, refs_table=refs,
+                ref_col="entity_id", lineage=lineage)
+    rows = lineage.read(spark).collect()
+    assert len(rows) == 2
+    assert {(r["loser_id"], r["winner_id"]) for r in rows} == {(1, 2), (3, 2)}
+
+    # crash-after-tombstone shape: recomputed mapping is empty, re-run
+    # is a total no-op but the lineage above already survived
+    mapping2 = consolidation_mapping(
+        ent.read(spark), id_col="id", name_col="name",
+        quality_col="quality", conflict_col="ident",
+    )
+    stats = consolidate(ent, mapping2, lsn=1001, refs_table=refs,
+                        ref_col="entity_id", lineage=lineage)
+    assert stats == {"merges": 0, "refs_rewritten": 0, "losers_deleted": 0}
+    assert lineage.read(spark).count() == 2

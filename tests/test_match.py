@@ -163,3 +163,28 @@ def test_apply_path_unresolved_keys_quarantine(spark, tmp_table_dir):
         "maria silva santos": "exact_name",
         "Santos maria silva": "token_sort",
     }
+
+
+def test_fuzzy_blocked_shuffle_join_parity(spark):
+    """broadcast_registry=False (registries too large to broadcast):
+    the shuffle-join plan must produce identical resolutions, and the
+    plan must actually shuffle on the block key instead of broadcasting."""
+    src = spark.createDataFrame(
+        [(20, "maria silvaa santos"), (22, "pedro alvez")],
+        "src_id long, qname string",
+    )
+    bcast = fuzzy_resolve_blocked(src, reg_df(spark))
+    # with auto-broadcast off, only a hardcoded F.broadcast hint could
+    # still produce a BroadcastHashJoin — proving the opt-out is real
+    # (with defaults AQE may still CHOOSE broadcast for a small side,
+    # which is exactly the adaptive behavior the opt-out enables)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuf = fuzzy_resolve_blocked(src, reg_df(spark), broadcast_registry=False)
+        rows = sorted(map(tuple, shuf.collect()))
+        plan = shuf._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert sorted(map(tuple, bcast.collect())) == rows
+    assert "BroadcastHashJoin" not in plan, plan[:1500]

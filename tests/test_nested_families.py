@@ -228,4 +228,11 @@ def test_shared_parse_mode_equals_independent(spark):
     shared = family_frames(docs, "js", DOC_SCHEMA, FAMILIES, shared_parse=True)
     for name in FAMILIES:
         _assert_equal(shared[name], independent[name], name)
+    # the shared-parse cache has a public release handle (a persisted
+    # full-corpus parse must not pin executor storage past the backfill)
+    assert shared.parsed is not None and shared.parsed.is_cached
+    shared.unpersist()
+    assert not shared.parsed.is_cached
+    assert independent.parsed is None
+    independent.unpersist()  # no-op in independent mode
     docs.unpersist()

@@ -223,3 +223,43 @@ def test_stream_csv_honors_evolved_feed_schema(spark, tmp_table_dir):
     out = pipe.target.read(spark)
     assert "lang" in out.columns
     assert_frames_equal(out, expected_final(feed))
+
+
+def test_retry_wrapper_refuses_live_tail(spark, tmp_table_dir):
+    """available_now=False would make the retry wrapper a silent no-op
+    (a live query's failures are asynchronous); it must refuse."""
+    import pytest
+
+    from horizon_etl_spark.streaming.runner import run_stream_with_retry
+
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    with pytest.raises(ValueError, match="available_now"):
+        run_stream_with_retry(
+            spark, pipe, os.path.join(tmp_table_dir, "feed"),
+            os.path.join(tmp_table_dir, "ckpt"), available_now=False,
+        )
+
+
+def test_stream_csv_malformed_cell_quarantined_not_abort(spark, tmp_table_dir):
+    """A malformed producer cell in a CSV drop ("1 2 x" in tokens, junk
+    in lsn) must surface as null via try_cast and land in QUARANTINE —
+    never abort the stream under Spark 4 ANSI mode (the poison-pill
+    class: checkpoint redelivery re-fails the same file forever)."""
+    src = os.path.join(tmp_table_dir, "feed")
+    os.makedirs(src)
+    rows = [
+        "update,d1,1,10 11 12,3,wiki,2024-01-01T00:00:00",   # clean
+        "update,d2,2,7 8 x,3,wiki,2024-01-01T00:00:01",      # bad token elem
+        "update,d3,junk,5 6,2,wiki,2024-01-01T00:00:02",     # bad lsn
+        "update,d4,4,1 2 3,3,wiki,2024-01-01T00:00:03",      # clean
+    ]
+    with open(os.path.join(src, "drop.csv"), "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream(
+        spark, pipe, src, os.path.join(tmp_table_dir, "ckpt"), feed_format="csv",
+    )
+    final = {r["doc_id"] for r in pipe.target.read(spark).collect()}
+    assert final == {"d1", "d4"}
+    quar = {(r["doc_id"], r["reason"]) for r in pipe.quarantine.read(spark).collect()}
+    assert quar == {("d2", "null_token"), ("d3", "null_lsn")}

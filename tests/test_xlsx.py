@@ -119,3 +119,43 @@ def test_stream_xlsx_workbook_drops_match_oracle(spark, tmp_table_dir):
         max_files_per_trigger=1, feed_format="xlsx",
     )
     assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+
+
+def test_stream_contains_corrupt_workbook_drop(spark, tmp_table_dir):
+    """T9 at the FILE level: a truncated/non-zip drop must not wedge the
+    stream (checkpoint redelivery would re-fail the same batch forever).
+    The corrupt file is skipped, a dead-letter marker is written under
+    the checkpoint, and the good workbooks still apply oracle-equal."""
+    import glob
+    import json
+
+    feed = change_feed(spark, 800, 50, seed=41, num_batches=2, min_len=2, max_len=6)
+    rows = feed.withColumn("tokens_txt", F.array_join("tokens", " ")).select(
+        "op", "doc_id", "lsn", "tokens_txt", "n_tok", "source",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss").alias("ts"), "batch",
+    ).collect()
+    src = os.path.join(tmp_table_dir, "drops")
+    os.makedirs(src)
+    header = ["op", "doc_id", "lsn", "tokens_txt", "n_tok", "source", "ts"]
+    for b in [0, 1]:
+        write_xlsx(
+            os.path.join(src, f"batch{b}.xlsx"),
+            header,
+            [[r[h] for h in header] for r in rows if r["batch"] == b],
+        )
+    # two poison pills: not-a-zip bytes, and a zip with no workbook parts
+    with open(os.path.join(src, "truncated.xlsx"), "wb") as fh:
+        fh.write(b"PK\x03\x04 this is not a real workbook")
+    import zipfile as _zf
+    with _zf.ZipFile(os.path.join(src, "emptyzip.xlsx"), "w") as zf:
+        zf.writestr("readme.txt", "renamed zip, no sheets")
+
+    ckpt = os.path.join(tmp_table_dir, "ckpt")
+    pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
+    run_stream(spark, pipe, src, ckpt, feed_format="xlsx")
+    assert_frames_equal(pipe.target.read(spark), expected_final(feed))
+
+    markers = sorted(glob.glob(os.path.join(ckpt, "_corrupt_xlsx", "*.json")))
+    assert len(markers) == 2
+    recorded = {json.load(open(m))["path"].rsplit("/", 1)[-1] for m in markers}
+    assert recorded == {"truncated.xlsx", "emptyzip.xlsx"}

@@ -163,16 +163,22 @@ class StepAuditor:
         rows = (
             self.table.read(spark)
             .filter(F.col("step_id") == step_id)
-            .select("metric", "dup_groups", "seq")
+            .select("metric", "dup_groups", "seq", "created_at")
             .collect()
         )
         if not rows:
             return None
-        best: dict[str, tuple[int, int]] = {}
+        # Tiebreak rank: commit-version seq first; for pre-migration
+        # rows (seq=null → -1, which can TIE across a legacy retry)
+        # fall back to created_at so legacy reads stay deterministic
+        # instead of depending on collect() partition order.
+        best: dict[str, tuple[tuple, int]] = {}
         for r in rows:
             seq = -1 if r["seq"] is None else int(r["seq"])
-            if r["metric"] not in best or seq > best[r["metric"]][0]:
-                best[r["metric"]] = (seq, int(r["dup_groups"]))
+            created = r["created_at"].isoformat() if r["created_at"] else ""
+            rank = (seq, created)
+            if r["metric"] not in best or rank > best[r["metric"]][0]:
+                best[r["metric"]] = (rank, int(r["dup_groups"]))
         return {m: n for m, (_, n) in best.items()}
 
     def diff(self, spark: SparkSession, step_id: int, origin: str | None = None) -> list[dict[str, Any]]:

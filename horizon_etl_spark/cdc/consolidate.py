@@ -99,17 +99,22 @@ def consolidate(
     Ordering: lineage is written FIRST.  The merges tombstone the losers,
     so a crash after them leaves a recomputed mapping EMPTY — lineage
     written last would be lost forever.  Written first it survives any
-    crash, and the ``consolidation_lsn_applied`` high-watermark carried
-    in the lineage table's props makes the append itself idempotent
-    (same contract as the change-log batch watermark), so the documented
-    re-run-to-recover move never duplicates lineage rows."""
+    crash, and the ``consolidation_lsn_applied`` marker carried in the
+    lineage table's props makes the append itself idempotent (same
+    contract as the change-log batch watermark), so the documented
+    re-run-to-recover move never duplicates lineage rows.  The marker
+    is the LAST-WRITTEN lsn, not a high-watermark: the lsn contract is
+    per-touched-rows, so a later consolidation over a different row set
+    may legitimately carry a LOWER lsn and must still record lineage —
+    only an exact replay of the previous call (crash recovery, which by
+    construction reuses the same lsn) is skipped."""
     spark = mapping.sparkSession
     mapping = mapping.persist()
     n_losers = mapping.count()  # materialize once; also the lineage row count
 
     if lineage is not None and n_losers > 0:
         applied = int(lineage.props.get("consolidation_lsn_applied", -1))
-        if lsn > applied:
+        if lsn != applied:
             lineage.append(
                 mapping.select(
                     "canonical_name",

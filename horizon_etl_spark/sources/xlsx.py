@@ -43,6 +43,9 @@ _PKG_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 
 # days from the Excel serial epoch (1899-12-30) to the unix epoch
 EXCEL_EPOCH_DAYS = 25569
+# largest serial Excel itself can represent (9999-12-31); anything
+# bigger is NOT an Excel date (epoch seconds/millis, a stray id, ...)
+EXCEL_MAX_SERIAL_DAYS = 2958465
 
 
 def _col_index(ref: str) -> int:
@@ -174,9 +177,17 @@ def decoded_cols(logical: StructType) -> list:
                 ).alias(f.name)
             )
         elif isinstance(f.dataType, TimestampType):
-            serial = (
-                (F.expr(f"try_cast({f.name} as double)") - F.lit(EXCEL_EPOCH_DAYS))
-                * 86400.0
+            # Serial fallback is range-gated to the representable Excel
+            # day span (0 .. 9999-12-31).  Outside it — e.g. a producer
+            # writing unix EPOCH SECONDS (1.7e9) — timestamp_seconds
+            # would hit Math.multiplyExact long overflow (an
+            # ANSI-independent java.lang.ArithmeticException) and abort
+            # the stream forever on checkpoint redelivery; gated, such
+            # cells decode to null and land in quarantine instead.
+            serial_days = F.expr(f"try_cast({f.name} as double)")
+            serial = F.when(
+                serial_days.between(0.0, float(EXCEL_MAX_SERIAL_DAYS)),
+                (serial_days - F.lit(EXCEL_EPOCH_DAYS)) * 86400.0,
             )
             cols.append(
                 F.coalesce(
@@ -207,12 +218,24 @@ def _record_corrupt(corrupt_dir: str | None, path: str, err: Exception) -> None:
     print(f"xlsx_feed: skipping corrupt drop {path}: {err!r}", file=sys.stderr)
     if not corrupt_dir:
         return
-    os.makedirs(corrupt_dir, exist_ok=True)
-    name = hashlib.sha256(path.encode()).hexdigest()[:24]
-    tmp = os.path.join(corrupt_dir, f".{name}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"path": path, "error": repr(err)}, fh)
-    os.replace(tmp, os.path.join(corrupt_dir, f"{name}.json"))
+    # Best-effort only: this runs INSIDE the per-file except handler,
+    # so a marker-write failure (unwritable dir, disk full, URI-style
+    # checkpoint path the local os module can't create) escaping here
+    # would re-wedge the stream — the exact poison pill the handler
+    # exists to contain.  The stderr line above is the fallback record.
+    try:
+        os.makedirs(corrupt_dir, exist_ok=True)
+        name = hashlib.sha256(path.encode()).hexdigest()[:24]
+        tmp = os.path.join(corrupt_dir, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"path": path, "error": repr(err)}, fh)
+        os.replace(tmp, os.path.join(corrupt_dir, f"{name}.json"))
+    except OSError as marker_err:  # pragma: no cover - env-dependent
+        print(
+            f"xlsx_feed: could not record corrupt marker for {path}: "
+            f"{marker_err!r}",
+            file=sys.stderr,
+        )
 
 
 def xlsx_feed(

@@ -157,7 +157,10 @@ def run_stream_with_retry(
     orchestrator); refuse rather than pretend."""
     import time
 
-    if kwargs.get("available_now") is False:
+    # truthiness, not identity: run_stream's own branch is
+    # `if available_now:`, so 0/None/"" would equally start a live
+    # tail and silently escape retry coverage
+    if not kwargs.get("available_now", True):
         raise ValueError(
             "run_stream_with_retry requires available_now=True; a live "
             "tail's failures are asynchronous and must be supervised by "

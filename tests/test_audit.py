@@ -103,3 +103,26 @@ def test_retried_step_rerecord_wins_deterministically(spark, tmp_table_dir):
     warns = aud.diff(spark, 3)
     assert [w["code"] for w in warns] == ["duplicate_count_increased"]
     assert warns[0]["before"] == 0 and warns[0]["after"] == 1
+
+
+def test_legacy_null_seq_rows_tiebreak_on_created_at(spark, tmp_table_dir):
+    """Audit tables recorded before the seq column existed read back
+    seq=null for ALL rows — a legacy retried step therefore TIES on
+    seq and must fall back to created_at, not collect() partition
+    order, to pick the latest recording."""
+    from datetime import datetime
+
+    aud = StepAuditor(tmp_table_dir)
+    early = datetime(2026, 1, 1, 10, 0, 0)
+    late = datetime(2026, 1, 1, 11, 0, 0)
+    aud.table.append_rows(
+        [
+            {"step_id": 2, "origin": "enrich", "metric": "name_dups",
+             "dup_groups": 7, "created_at": early, "seq": None},
+            {"step_id": 2, "origin": "enrich", "metric": "name_dups",
+             "dup_groups": 0, "created_at": late, "seq": None},
+        ],
+        operation="audit(legacy)",
+    )
+    for _ in range(3):  # stable across repeated reads
+        assert aud._summary_at(spark, 2) == {"name_dups": 0}

@@ -200,3 +200,35 @@ def test_lineage_idempotent_and_crash_safe(spark, tmp_table_dir):
                         ref_col="entity_id", lineage=lineage)
     assert stats == {"merges": 0, "refs_rewritten": 0, "losers_deleted": 0}
     assert lineage.read(spark).count() == 2
+
+
+def test_lineage_written_for_later_lower_lsn_round(spark, tmp_table_dir):
+    """The lsn contract is per-touched-rows, so a later consolidation
+    over a DISJOINT row set may legitimately carry a lower lsn than a
+    previous round — its lineage must still be recorded (only an exact
+    replay of the immediately-previous call is skipped)."""
+    ent, refs, lineage = build(spark, tmp_table_dir)
+    mapping = consolidation_mapping(
+        ent.read(spark), id_col="id", name_col="name",
+        quality_col="quality", conflict_col="ident",
+    ).persist()
+    consolidate(ent, mapping, lsn=1000, refs_table=refs,
+                ref_col="entity_id", lineage=lineage)
+    assert lineage.read(spark).count() == 2
+
+    # disjoint second round at a LOWER lsn (its touched rows never saw
+    # lsn 1000) — manual mapping over the conflict-skipped pair
+    mapping2 = spark.createDataFrame(
+        [("joao", 5, 4)], "canonical_name string, winner_id long, loser_id long"
+    )
+    consolidate(ent, mapping2, lsn=401, refs_table=refs,
+                ref_col="entity_id", lineage=lineage)
+    rows = lineage.read(spark).collect()
+    assert len(rows) == 3
+    assert {(r["loser_id"], r["winner_id"], r["lsn"]) for r in rows} == {
+        (1, 2, 1000), (3, 2, 1000), (4, 5, 401),
+    }
+    # exact replay of the lower-lsn round stays idempotent
+    consolidate(ent, mapping2, lsn=401, refs_table=refs,
+                ref_col="entity_id", lineage=lineage)
+    assert lineage.read(spark).count() == 3

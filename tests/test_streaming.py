@@ -233,11 +233,15 @@ def test_retry_wrapper_refuses_live_tail(spark, tmp_table_dir):
     from horizon_etl_spark.streaming.runner import run_stream_with_retry
 
     pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=8)
-    with pytest.raises(ValueError, match="available_now"):
-        run_stream_with_retry(
-            spark, pipe, os.path.join(tmp_table_dir, "feed"),
-            os.path.join(tmp_table_dir, "ckpt"), available_now=False,
-        )
+    # falsy-but-not-False values (0, None from an optional config field)
+    # take the same live-tail branch in run_stream and must be refused
+    # identically — an identity check would let them slip through.
+    for live in (False, 0, None):
+        with pytest.raises(ValueError, match="available_now"):
+            run_stream_with_retry(
+                spark, pipe, os.path.join(tmp_table_dir, "feed"),
+                os.path.join(tmp_table_dir, "ckpt"), available_now=live,
+            )
 
 
 def test_stream_csv_malformed_cell_quarantined_not_abort(spark, tmp_table_dir):

@@ -159,3 +159,32 @@ def test_stream_contains_corrupt_workbook_drop(spark, tmp_table_dir):
     assert len(markers) == 2
     recorded = {json.load(open(m))["path"].rsplit("/", 1)[-1] for m in markers}
     assert recorded == {"truncated.xlsx", "emptyzip.xlsx"}
+
+
+def test_serial_timestamp_fallback_is_range_gated(spark):
+    """A producer that writes unix EPOCH SECONDS (or millis) into a
+    timestamp column must decode to null → quarantine, NOT hit
+    timestamp_seconds' Math.multiplyExact long overflow (which is
+    ANSI-independent and would abort the stream forever on checkpoint
+    redelivery).  In-range Excel serials and ISO strings still decode."""
+    from pyspark.sql.types import StructType, StructField, TimestampType
+
+    from horizon_etl_spark.sources.xlsx import decoded_cols
+
+    logical = StructType([StructField("ts", TimestampType(), True)])
+    wire = spark.createDataFrame(
+        [("2024-01-01 12:00:00",),  # ISO → parsed directly
+         ("45292.5",),              # Excel serial 2024-01-01 12:00 UTC
+         ("1704067200",),           # epoch SECONDS → out of serial range
+         ("1704067200000",),        # epoch MILLIS → would overflow long µs
+         ("-7",),                   # pre-epoch serial → not a date
+         ("nonsense",)],            # malformed → null
+        "ts string",
+    )
+    rows = wire.select(*decoded_cols(logical)).collect()  # must not raise
+    assert rows[0]["ts"].year == 2024 and rows[0]["ts"].hour == 12
+    assert rows[1]["ts"].year == 2024 and rows[1]["ts"].hour == 12
+    assert rows[2]["ts"] is None
+    assert rows[3]["ts"] is None
+    assert rows[4]["ts"] is None
+    assert rows[5]["ts"] is None

@@ -481,6 +481,88 @@ def run_bloom_bench(
     return out
 
 
+def run_cluster_bench(
+    spark, num_keys: int, trickle_keys: int = 64, splits_per_bucket: int = 8
+) -> dict:
+    """Clustered (sort-ordered) compaction vs plain compaction, on the
+    workload clustering targets: POINT-key updates against a compacted
+    table.  Plain ``compact()`` leaves one full-range file-set per
+    bucket, so every point key rewrites its whole bucket; with
+    ``cluster_by_key`` the rewrite is range-split into pairwise-DISJOINT
+    key ranges (~8 files/bucket here), so the same range pruner — zero
+    read-side changes — isolates ~1 file per key.  Both tables load
+    identically; the comparison isolates the compaction layout alone.
+    The clustered ``compact_sec`` includes repartitionByRange's sampling
+    pass — the disclosed clustering tax."""
+    from pyspark.sql import functions as F
+
+    from horizon_etl_spark.cdc import schema as S
+    from horizon_etl_spark.tables.lake import LakeTable
+
+    root = os.path.join(tempfile.gettempdir(), "horizon_etl_bench", "cluster")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    cpus = spark.sparkContext.defaultParallelism
+    buckets = max(16, cpus)
+    # ~splits_per_bucket disjoint splits per bucket (default 8 = the
+    # steady-state compact_buckets threshold), sized from the key
+    # count; the rewritten-rows ratio's ceiling is files/bucket, so the
+    # 10× harness raises this to show the payoff growing with geometry
+    target_rows = max(1, num_keys // (buckets * splits_per_bucket))
+
+    def events(ids, lsn):
+        return ids.select(
+            F.format_string("doc-%08d", F.col("id")).alias("doc_id"),
+            F.sequence(F.lit(1), F.lit(64)).alias("tokens"),
+            F.lit(64).alias("n_tok"),
+            F.lit("bench").alias("source"),
+            F.lit("upsert").alias("op"),
+            F.lit(lsn).cast("long").alias("lsn"),
+        )
+
+    def rewritten_rows(t, prev_version):
+        prev = {f["path"]: f["rows"] for f in t.snapshot(prev_version)["files"]}
+        cur = {f["path"] for f in t.snapshot()["files"]}
+        return sum(r for p, r in prev.items() if p not in cur)
+
+    out: dict = {
+        "keys": num_keys,
+        "trickle_keys": trickle_keys,
+        "target_file_rows": target_rows,
+    }
+    pop = spark.range(num_keys)
+    rand = (F.col("id") * 2654435761) % num_keys
+    upd_ids = spark.range(trickle_keys).select(rand.alias("id")).distinct()
+    for mode, cluster in (("plain", False), ("clustered", True)):
+        t = LakeTable.create(
+            f"{root}/{mode}", S.TARGET_SCHEMA, key_col="doc_id", bucket_count=buckets
+        )
+        t.merge(events(pop, lsn=1))
+        t0 = time.time()
+        t.compact(spark, cluster_by_key=cluster, target_file_rows=target_rows)
+        res = {
+            "compact_sec": round(time.time() - t0, 2),
+            "files": len(t.snapshot()["files"]),
+        }
+        v = t.current_version()
+        t0 = time.time()
+        stats = t.merge(events(upd_ids, lsn=2))
+        res["update"] = {
+            "sec": round(time.time() - t0, 2),
+            "rewritten_files": stats["rewritten_files"],
+            "rewritten_rows": rewritten_rows(t, v),
+        }
+        out[mode] = res
+    p, c = out["plain"], out["clustered"]
+    out["update_rows_ratio"] = (
+        round(p["update"]["rewritten_rows"] / c["update"]["rewritten_rows"], 1)
+        if c["update"]["rewritten_rows"]
+        else None
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def run_graph_bench(spark, sf_dir: str) -> dict:
     """Multi-relationship graph family at bench scale: the merged
     3-family edge build + summary witness, distributed connected
@@ -571,6 +653,10 @@ def main() -> None:
     bloom = run_bloom_bench(spark, bl_keys)
     log(f"bloom: {bloom}")
 
+    cl_keys = int(os.environ.get("BENCH_CLUSTER_KEYS", max(10_000, num_keys // 2)))
+    cluster = run_cluster_bench(spark, cl_keys)
+    log(f"cluster: {cluster}")
+
     graph = run_graph_bench(spark, sf_dir)
     log(f"graph: {graph}")
 
@@ -598,6 +684,7 @@ def main() -> None:
         "outbox": outbox,
         "replica": replica,
         "bloom": bloom,
+        "cluster": cluster,
         "graph": graph,
     }
     print(json.dumps(out), flush=True)

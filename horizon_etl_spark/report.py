@@ -154,6 +154,45 @@ def quarantine_warnings(spark: SparkSession, pipe: CdcPipeline) -> list[dict]:
     ]
 
 
+def maintenance_advisory_warnings(pipe: CdcPipeline) -> list[dict]:
+    """Merge-time layout advisories pending an operator action: the
+    target's latest summary may carry ``rebucket_recommended`` (rows
+    per bucket over policy) or ``cluster_recommended`` (sparse batches
+    churning fat files).  Both are acted on by job_maintain's auto
+    modes, but surfacing them here means a pipeline WITHOUT a scheduled
+    maintenance sweep still alerts instead of silently degrading.
+    O(1): reads the already-loaded snapshot summary, no Spark job."""
+    summary = pipe.target.snapshot().get("summary", {})
+    out = []
+    if summary.get("rebucket_recommended"):
+        out.append(
+            {
+                "severity": "warning",
+                "code": "rebucket_recommended",
+                "count": int(summary["rebucket_recommended"]),
+                "message": (
+                    f"Merge advisory: rebucket target to "
+                    f"{summary['rebucket_recommended']} buckets "
+                    "(run job_maintain, --rebucket auto honors this)."
+                ),
+            }
+        )
+    if summary.get("cluster_recommended"):
+        out.append(
+            {
+                "severity": "warning",
+                "code": "cluster_recommended",
+                "count": 1,
+                "message": (
+                    "Merge advisory: sparse batches are rewriting files far "
+                    "over target_file_rows — schedule a sort-ordered sweep "
+                    "(job_maintain --cluster-by-key auto honors this)."
+                ),
+            }
+        )
+    return out
+
+
 def flow_report(
     spark: SparkSession,
     pipe: CdcPipeline,
@@ -188,6 +227,9 @@ def flow_report(
     quar_w = quarantine_warnings(spark, pipe)
     if quar_w:
         warnings.setdefault("quarantine", []).extend(quar_w)
+    maint_w = maintenance_advisory_warnings(pipe)
+    if maint_w:
+        warnings.setdefault("maintenance", []).extend(maint_w)
 
     return {
         "run_name": run_name,

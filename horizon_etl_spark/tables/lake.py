@@ -43,6 +43,7 @@ exactly like Iceberg's metadata layer.
 
 from __future__ import annotations
 
+import bisect
 import json
 import os
 import shutil
@@ -65,6 +66,9 @@ from pyspark.sql.types import (
 LSN_COL = "_lsn"
 TOMBSTONE_COL = "_tombstone"
 BUCKET_COL = "_bucket"
+# clustered-compaction file sizing: ~4M rows/file ≈ 128-512 MB parquet
+# at typical tokenized-sequence row widths (the cloud-object sweet spot)
+DEFAULT_TARGET_FILE_ROWS = 4_000_000
 # Per-attribute LWW tables additionally carry one assertion-lsn column
 # per payload column plus the row's delete watermark.
 DEL_LSN_COL = "_del_lsn"
@@ -168,6 +172,23 @@ BLOOM_PROP = "key_bloom"
 # right plan, so the read degrades to a broadcast semi-join with
 # bucket+range-only pruning instead of failing or crawling
 READ_KEYS_ISIN_MAX = 10_000
+# Exact-key prune refinement (trickle merges): when the per-bucket
+# interval test keeps >1 un-probed file in a bucket whose batch holds
+# at most this many distinct keys, collect those keys (one extra SMALL
+# Spark action) and carry every file whose [min,max] contains none —
+# on a key-clustered table this isolates ~1 file per point key with
+# no bloom sidecars (and no load tax).  Dense/bulk batches blow the
+# gate (their HLL count is large) and skip the second action entirely.
+PRUNE_REFINE_BUCKET_KEYS = 4_096
+PRUNE_REFINE_TOTAL_KEYS = 65_536
+# Clustering advisory (merge-time, consumed by job_maintain
+# --cluster-by-key auto): fires when a merge's copy-on-write rewrite
+# was dominated by FAT files churned for a sparse batch — mean rows
+# per rewritten file over 2× target_file_rows AND rewritten rows over
+# this multiple of the batch.  A freshly clustered table stops firing
+# because its rewritten files are ~target_file_rows-sized even though
+# point-merge amplification never reaches 1 under copy-on-write.
+CLUSTER_ADVICE_MIN_AMP = 8
 
 
 def _bloom_hash_exprs(key_col: str) -> tuple[Column, Column]:
@@ -963,7 +984,12 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
     def _write_data(
-        self, df: DataFrame, version: int, bucketed: bool, with_blooms: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        bucketed: bool,
+        with_blooms: bool = False,
+        cluster_files: int | None = None,
     ) -> list[FileEntry]:
         """Write df to a fresh commit directory; return file entries.
 
@@ -973,13 +999,35 @@ class LakeTable:
         With ``with_blooms`` a per-file key Bloom sidecar is also built
         (one column-pruned read-back job over the just-written files —
         only callers on the bulk/opt-in paths pass it).
+
+        ``cluster_files`` (compaction paths only) switches the shuffle
+        to ``repartitionByRange(cluster_files, bucket, key)`` + a
+        within-partition sort — range partitioning on (bucket, key) is
+        lexicographic, so the files it produces INSIDE each bucket hold
+        pairwise-disjoint, key-sorted ranges.  The footer min/max stats
+        below then make ``_prune_for_batch``'s range test (paired with
+        its sparse exact-key refinement, which stops the batch interval
+        from sweeping files BETWEEN two keys) exact for point keys
+        (≤1 file per bucket per key) with zero read-side changes —
+        Iceberg's sort-ordered ``rewrite_data_files``
+        expressed as one extra exchange on the O(table) job that
+        compaction already is.  The default hash ``repartition`` stays
+        on the merge hot path: a range exchange there would add a
+        sampling pass per micro-batch for ranges the next merge
+        immediately fragments.
         """
         rel_dir = os.path.join("data", f"commit-{version:08d}-{uuid.uuid4().hex[:8]}")
         out_dir = os.path.join(self.path, rel_dir)
         if bucketed:
             key = self.key_col
+            if cluster_files:
+                shuffled = df.repartitionByRange(
+                    int(cluster_files), F.col(BUCKET_COL), F.col(key)
+                ).sortWithinPartitions(BUCKET_COL, key)
+            else:
+                shuffled = df.repartition(F.col(BUCKET_COL))
             (
-                df.repartition(F.col(BUCKET_COL))
+                shuffled
                 .write.partitionBy(BUCKET_COL)
                 .mode("error")
                 .parquet(out_dir)
@@ -1137,7 +1185,11 @@ class LakeTable:
         if not bloomed:
             touched = (
                 src.groupBy(BUCKET_COL)
-                .agg(F.min(key).alias("mn"), F.max(key).alias("mx"))
+                .agg(
+                    F.min(key).alias("mn"),
+                    F.max(key).alias("mx"),
+                    F.approx_count_distinct(key).alias("ndk"),
+                )
                 .collect()
             )
         else:
@@ -1191,6 +1243,7 @@ class LakeTable:
                 .agg(
                     F.min(key).alias("mn"),
                     F.max(key).alias("mx"),
+                    F.approx_count_distinct(key).alias("ndk"),
                     F.collect_set(F.col("_fid")).alias("probed"),
                     F.collect_set(F.when(hit, F.col("_fid"))).alias("hits"),
                 )
@@ -1200,8 +1253,13 @@ class LakeTable:
             hit_fids = {r[BUCKET_COL]: set(r["hits"]) for r in touched}
 
         touched_range = {r[BUCKET_COL]: (r["mn"], r["mx"]) for r in touched}
+        touched_ndk = {r[BUCKET_COL]: int(r["ndk"]) for r in touched}
         rewrite_files: list[FileEntry] = []
         carry_files: list[FileEntry] = []
+        # bucket -> rewrite_files positions the interval test ALONE kept
+        # (bloom-probed files are already membership-exact) — the
+        # candidates for the exact-key refinement below
+        refinable: dict[int, list[int]] = {}
         for idx, f in enumerate(all_files):
             if f.bucket == -1:
                 # unbucketed file on a keyed table (stray append): no
@@ -1215,9 +1273,54 @@ class LakeTable:
                 and f.min_key is not None
                 and (f.max_key < rng[0] or f.min_key > rng[1])
             )
-            if overlaps and idx in probed_fids.get(f.bucket, set()):
+            probed = idx in probed_fids.get(f.bucket, set())
+            if overlaps and probed:
                 overlaps = idx in hit_fids.get(f.bucket, set())
-            (rewrite_files if overlaps else carry_files).append(f)
+            if overlaps:
+                if not probed and f.min_key is not None and f.max_key is not None:
+                    refinable.setdefault(f.bucket, []).append(len(rewrite_files))
+                rewrite_files.append(f)
+            else:
+                carry_files.append(f)
+
+        # Exact-key refinement: the interval [batch-min, batch-max] per
+        # bucket sweeps in every file BETWEEN two batch keys, even on a
+        # key-clustered table whose file ranges are pairwise disjoint.
+        # For trickle-shaped buckets (HLL distinct-key estimate under
+        # the gate) a second SMALL action collects the actual batch
+        # keys and carries every un-probed file whose [min,max] holds
+        # none of them.  Sound (no false carries): file stats are true
+        # bounds and collect_set is exact, so a file containing a batch
+        # key always has some collected key inside its range.  Dense
+        # batches skip this entirely — they rewrite broadly regardless,
+        # and the gate keeps the driver's key copy O(refined buckets ×
+        # PRUNE_REFINE_BUCKET_KEYS) at worst.
+        refine = [
+            b
+            for b, ps in refinable.items()
+            if len(ps) > 1 and 0 < touched_ndk.get(b, 0) <= PRUNE_REFINE_BUCKET_KEYS
+        ]
+        if refine and sum(touched_ndk[b] for b in refine) <= PRUNE_REFINE_TOTAL_KEYS:
+            keys_by_bucket = {
+                r[BUCKET_COL]: r["ks"]
+                for r in src.filter(F.col(BUCKET_COL).isin(refine))
+                .groupBy(BUCKET_COL)
+                .agg(F.sort_array(F.collect_set(key)).alias("ks"))
+                .collect()
+            }
+            dropped: set[int] = set()
+            for b in refine:
+                ks = keys_by_bucket.get(b) or []
+                for pos in refinable[b]:
+                    f = rewrite_files[pos]
+                    i = bisect.bisect_left(ks, f.min_key)
+                    if not (i < len(ks) and ks[i] <= f.max_key):
+                        dropped.add(pos)
+            if dropped:
+                carry_files.extend(rewrite_files[p] for p in sorted(dropped))
+                rewrite_files = [
+                    f for p, f in enumerate(rewrite_files) if p not in dropped
+                ]
         return rewrite_files, carry_files
 
     def _bucket_policy_advice(
@@ -1239,6 +1342,18 @@ class LakeTable:
             summary["rebucket_recommended"] = recommended_bucket_count(
                 est_rows, target_rpb
             )
+        # clustering advisory — see CLUSTER_ADVICE_MIN_AMP.  Uses the
+        # REWRITTEN side of this merge only (O(1) over already-known
+        # summary numbers); job_maintain's auto mode schedules the
+        # sort-ordered rewrite off the hot path, like rebucket.
+        rr = summary.get("rewritten_rows", 0)
+        rf = summary.get("rewritten_files", 0)
+        if (
+            rf > 0
+            and rr > CLUSTER_ADVICE_MIN_AMP * max(1, summary.get("batch_rows", 0))
+            and rr / rf > 2 * self._target_file_rows(snap)
+        ):
+            summary["cluster_recommended"] = True
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -1465,6 +1580,7 @@ class LakeTable:
             "deleted": int(stats_row["deleted"] or 0),
             "skipped_stale": int(stats_row["skipped_stale"] or 0),
             "rewritten_files": len(rewrite_files),
+            "rewritten_rows": sum(int(f.rows or 0) for f in rewrite_files),
             "carried_files": len(carry_files),
         }
         self._bucket_policy_advice(snap, files, summary)
@@ -1826,6 +1942,7 @@ class LakeTable:
             "deleted": int(stats_row["deleted"] or 0),
             "skipped_stale": int(stats_row["skipped_stale"] or 0),
             "rewritten_files": len(rewrite_files),
+            "rewritten_rows": sum(int(f.rows or 0) for f in rewrite_files),
             "carried_files": len(carry_files),
         }
         self._bucket_policy_advice(snap, files, summary)
@@ -1866,12 +1983,16 @@ class LakeTable:
         df: DataFrame,
         operation: str = "overwrite",
         props: dict[str, Any] | None = None,
+        cluster_files: int | None = None,
     ) -> int:
         """Replace all data (used by compaction and bulk loads).
 
         ``props`` entries are merged into the snapshot's props — e.g.
         derived tables record the source-table version they reflect, so
         a crash between source commit and derived commit is detectable.
+        ``cluster_files`` (keyed tables only) range-clusters the output
+        by (bucket, key) into that many sorted file splits — see
+        :meth:`compact`'s ``cluster_by_key``.
         """
         snap = self.snapshot()
         version = snap["version"] + 1
@@ -1885,8 +2006,11 @@ class LakeTable:
             version,
             bucketed=True,
             with_blooms=self._bloom_enabled(snap),
+            cluster_files=cluster_files,
         )
         else:
+            if cluster_files:
+                raise ValueError("cluster_files requires a keyed table")
             new_files = self._write_data(df.select([f.name for f in schema.fields]), version, bucketed=False)
         self._commit(
             version,
@@ -2065,6 +2189,8 @@ class LakeTable:
         spark: SparkSession,
         max_files_per_bucket: int = 8,
         drop_tombstones: bool = False,
+        cluster_by_key: bool = False,
+        target_file_rows: int | None = None,
     ) -> dict[str, int]:
         """Selective small-file compaction: rewrite ONLY buckets whose
         file count exceeds ``max_files_per_bucket`` (copy-on-write
@@ -2077,7 +2203,17 @@ class LakeTable:
         ``drop_tombstones`` defaults OFF here (unlike compact()):
         per-bucket GC of tombstones is only safe under the same
         no-more-stale-events watermark contract, and a routine
-        small-file pass shouldn't silently change delete semantics."""
+        small-file pass shouldn't silently change delete semantics.
+
+        ``cluster_by_key`` key-sorts and range-splits the REWRITTEN
+        buckets into ~``target_file_rows``-row disjoint-range files
+        (see :meth:`compact`) — the natural pairing, since the hot
+        buckets this pass touches are exactly the ones whose file
+        ranges interleave.  In cluster mode a bucket also counts as hot
+        when it holds an OVERSIZED file (rows > 2× the target): those
+        fat full-range files are what the clustering advisory fires on,
+        and they never trip the file-count test (often 1 file/bucket) —
+        so the sweep stays O(offending buckets), never O(table)."""
         snap = self.snapshot()
         key = snap["key_col"]
         if key is None:
@@ -2088,10 +2224,18 @@ class LakeTable:
         for f in all_files:
             per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
         hot = {b for b, n in per_bucket.items() if n > max_files_per_bucket}
+        if cluster_by_key:
+            fat = 2 * self._target_file_rows(snap, target_file_rows)
+            hot |= {f.bucket for f in all_files if f.bucket != -1 and (f.rows or 0) > fat}
         if not hot:
             return {"compacted_buckets": 0, "rewritten_files": 0, "carried_files": len(all_files)}
         rewrite = [f for f in all_files if f.bucket in hot]
         carry = [f for f in all_files if f.bucket not in hot]
+        cluster_files = (
+            self._cluster_split_count(snap, target_file_rows, files=rewrite)
+            if cluster_by_key
+            else None
+        )
         df = self._scan(spark, rewrite, schema).withColumn(
             BUCKET_COL, bucket_expr(key, snap["bucket_count"])
         )
@@ -2104,6 +2248,7 @@ class LakeTable:
             version,
             bucketed=True,
             with_blooms=self._bloom_enabled(snap),
+            cluster_files=cluster_files,
         )
         self._commit(
             version,
@@ -2127,11 +2272,74 @@ class LakeTable:
             "carried_files": len(carry),
         }
 
-    def compact(self, spark: SparkSession, drop_tombstones: bool = True) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        drop_tombstones: bool = True,
+        cluster_by_key: bool = False,
+        target_file_rows: int | None = None,
+    ) -> int:
         """Rewrite the table into one file-set per bucket; optionally GC
         tombstones (safe once no stale events older than any tombstone
-        can still arrive — the stream's lsn high-watermark governs)."""
+        can still arrive — the stream's lsn high-watermark governs).
+
+        ``cluster_by_key`` additionally key-sorts and range-splits the
+        rewrite into ~``target_file_rows``-row files (default: the
+        ``target_file_rows`` table prop, else 4,000,000) whose
+        per-bucket key ranges are pairwise DISJOINT.  A 100 TB bucket
+        is tens of GB — one file per bucket is both an oversized object
+        and a full-bucket rewrite on every point-key merge; clustered,
+        the range pruner touches ~1 file per key with no bloom
+        sidecars needed (and where blooms ARE on, both tests tighten).
+        The split count is sized driver-side from the manifest's footer
+        row counts — no extra Spark job beyond repartitionByRange's
+        sampling pass."""
+        cluster_files = (
+            self._cluster_split_count(self.snapshot(), target_file_rows)
+            if cluster_by_key
+            else None
+        )
         df = self.read(spark, include_meta=True)
         if drop_tombstones and TOMBSTONE_COL in df.columns:
             df = df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)))
-        return self.overwrite(df.drop(BUCKET_COL), operation="compact")
+        return self.overwrite(
+            df.drop(BUCKET_COL), operation="compact", cluster_files=cluster_files
+        )
+
+    def _cluster_split_count(
+        self,
+        snap: dict[str, Any],
+        target_file_rows: int | None,
+        files: list[FileEntry] | None = None,
+    ) -> int:
+        """Range-split count for a clustered rewrite of ``files``
+        (default: the whole snapshot), from manifest footer row counts.
+        Tombstoned rows inflate the estimate slightly when the caller
+        drops them — harmless (marginally smaller files)."""
+        if snap["key_col"] is None:
+            raise ValueError("cluster_by_key requires a keyed table")
+        entries = (
+            files
+            if files is not None
+            else [FileEntry.from_json(f) for f in snap["files"]]
+        )
+        total = sum(int(f.rows or 0) for f in entries)
+        target = self._target_file_rows(snap, target_file_rows)
+        return max(1, -(-total // target))
+
+    @staticmethod
+    def _target_file_rows(
+        snap: dict[str, Any], override: int | None = None
+    ) -> int:
+        """Clustered-split sizing: explicit override, else the table's
+        ``target_file_rows`` prop, else DEFAULT_TARGET_FILE_ROWS."""
+        target = (
+            int(override)
+            if override is not None
+            else int(
+                snap.get("props", {}).get("target_file_rows", DEFAULT_TARGET_FILE_ROWS)
+            )
+        )
+        if target <= 0:
+            raise ValueError("target_file_rows must be positive")
+        return target

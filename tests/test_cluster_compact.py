@@ -1,0 +1,225 @@
+"""Clustered (sort-ordered) compaction: rewrite files hold disjoint,
+key-sorted ranges per bucket, so the range pruner touches ~1 file per
+point key — Iceberg's sort-ordered rewrite_data_files analogue.  State
+must round-trip exactly, later merges must still converge, and the
+option must compose with bloom sidecars and compact_buckets' hot-only
+pass."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from horizon_etl_spark.tables.lake import (
+    BLOOM_PROP,
+    BUCKET_COL,
+    FileEntry,
+    LakeTable,
+    bucket_expr,
+)
+
+SCHEMA = StructType(
+    [StructField("k", StringType(), False), StructField("v", LongType(), True)]
+)
+
+
+def _mk_table(tmp_table_dir, name, bloom=False, buckets=4):
+    return LakeTable.create(
+        os.path.join(tmp_table_dir, name),
+        SCHEMA,
+        key_col="k",
+        bucket_count=buckets,
+        props={BLOOM_PROP: "true"} if bloom else None,
+    )
+
+
+def _batch(spark, ids, lsn, op="upsert"):
+    return spark.createDataFrame(
+        [(f"k{i:06d}", i, op, lsn) for i in ids], "k string, v long, op string, lsn long"
+    )
+
+
+def _files(t):
+    return [FileEntry.from_json(f) for f in t.snapshot()["files"]]
+
+
+def _prune(t, batch):
+    snap = t.snapshot()
+    src = batch.withColumn(BUCKET_COL, bucket_expr("k", snap["bucket_count"]))
+    return t._prune_for_batch(src, snap)
+
+
+def _interleaved(spark, t):
+    """Three merges whose key sets stripe the space; copy-on-write
+    coalesces the overlaps, leaving ONE fat full-range file per bucket
+    — the shape where a point merge rewrites the entire bucket."""
+    for stripe in range(3):
+        t.merge(_batch(spark, range(stripe, 600, 3), lsn=stripe + 1))
+
+
+def _blocked(spark, t):
+    """Three merges over ADJACENT key blocks: no range overlap, so each
+    merge's files carry forward — 3 files per bucket accumulate."""
+    for block in range(3):
+        t.merge(_batch(spark, range(block * 200, (block + 1) * 200), lsn=block + 1))
+
+
+def test_clustered_compact_disjoint_ranges_and_point_pruning(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    _interleaved(spark, t)
+    before = sorted(t.read(spark).collect())
+
+    # pre-compact: one full-range file per bucket → a point key
+    # rewrites the WHOLE bucket
+    probe = _batch(spark, [301], lsn=99)
+    rewrite_pre, _ = _prune(t, probe)
+    bucket_rows = sum(f.rows for f in _files(t) if f.bucket == rewrite_pre[0].bucket)
+    assert sum(f.rows for f in rewrite_pre) == bucket_rows
+
+    t.compact(spark, cluster_by_key=True, target_file_rows=60)
+    assert sorted(t.read(spark).collect()) == before  # state round-trips
+
+    files = _files(t)
+    by_bucket: dict[int, list[FileEntry]] = {}
+    for f in files:
+        by_bucket.setdefault(f.bucket, []).append(f)
+    assert any(len(fs) > 1 for fs in by_bucket.values())  # actually split
+    for fs in by_bucket.values():
+        fs.sort(key=lambda f: f.min_key)
+        for a, b in zip(fs, fs[1:]):  # pairwise-disjoint ranges
+            assert a.max_key < b.min_key
+    # rows inside each file are key-sorted (contiguous range layout)
+    ks = pq.read_table(os.path.join(t.path, files[0].path), columns=["k"])[
+        "k"
+    ].to_pylist()
+    assert ks == sorted(ks)
+
+    # post-compact: the range test alone isolates ONE split — the
+    # point merge now rewrites a file's worth of rows, not a bucket's
+    rewrite_post, _ = _prune(t, probe)
+    assert len(rewrite_post) == 1
+    lo, hi = rewrite_post[0].min_key, rewrite_post[0].max_key
+    assert lo <= "k000301" <= hi
+    assert rewrite_post[0].rows < bucket_rows
+
+
+def test_exact_key_refinement_skips_swept_middle_files(spark, tmp_table_dir):
+    """A sparse batch with two far-apart keys in ONE bucket: the
+    interval [min,max] sweeps every file between them, but the
+    exact-key refinement carries the gap files — only the two files
+    actually holding the keys rewrite.  This is the trickle steady
+    state clustering exists for, exact WITHOUT bloom sidecars."""
+    t = _mk_table(tmp_table_dir, "t")
+    _interleaved(spark, t)
+    t.compact(spark, cluster_by_key=True, target_file_rows=40)
+
+    by_bucket: dict[int, list[FileEntry]] = {}
+    for f in _files(t):
+        by_bucket.setdefault(f.bucket, []).append(f)
+    bucket, fs = max(by_bucket.items(), key=lambda kv: len(kv[1]))
+    fs.sort(key=lambda f: f.min_key)
+    assert len(fs) >= 3  # first + gap file(s) + last
+    probe = spark.createDataFrame(
+        [(fs[0].min_key, 1, "update", 99), (fs[-1].max_key, 2, "update", 99)],
+        "k string, v long, op string, lsn long",
+    )
+    rewrite, carry = _prune(t, probe)
+    hit = [f for f in rewrite if f.bucket == bucket]
+    assert {f.path for f in hit} == {fs[0].path, fs[-1].path}
+    carried = {f.path for f in carry if f.bucket == bucket}
+    assert carried == {f.path for f in fs[1:-1]}
+
+    # the full merge converges to the same state an unrefined rewrite
+    # would produce
+    before = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    t.merge(probe)
+    after = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    before[fs[0].min_key], before[fs[-1].max_key] = 1, 2
+    assert after == before
+
+
+def test_merge_after_clustered_compact_converges(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t")
+    _interleaved(spark, t)
+    t.compact(spark, cluster_by_key=True, target_file_rows=60)
+    t.merge(
+        spark.createDataFrame(
+            [("k000301", 9999, "update", 50)], "k string, v long, op string, lsn long"
+        )
+    )
+    t.merge(  # stale replay → ignored
+        spark.createDataFrame(
+            [("k000301", 1, "update", 40)], "k string, v long, op string, lsn long"
+        )
+    )
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 600
+    assert rows["k000301"] == 9999
+
+
+def test_clustered_compact_builds_bloom_sidecars(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t", bloom=True)
+    _interleaved(spark, t)
+    t.compact(spark, cluster_by_key=True, target_file_rows=60)
+    files = _files(t)
+    assert files and all(f.bloom for f in files)
+
+
+def test_clustered_compact_buckets_touches_only_hot(spark, tmp_table_dir):
+    t = _mk_table(tmp_table_dir, "t", buckets=4)
+    _blocked(spark, t)  # adjacent-range merges carry → 3 files per bucket
+    before = sorted(t.read(spark).collect())
+    stats = t.compact_buckets(
+        spark, max_files_per_bucket=2, cluster_by_key=True, target_file_rows=60
+    )
+    assert stats["compacted_buckets"] == 4 and stats["carried_files"] == 0
+    assert sorted(t.read(spark).collect()) == before
+    by_bucket: dict[int, list[FileEntry]] = {}
+    for f in _files(t):
+        by_bucket.setdefault(f.bucket, []).append(f)
+    for fs in by_bucket.values():
+        fs.sort(key=lambda f: f.min_key)
+        for a, b in zip(fs, fs[1:]):
+            assert a.max_key < b.min_key
+
+    # a cold table (nothing over the threshold) is untouched
+    stats2 = t.compact_buckets(
+        spark, max_files_per_bucket=8, cluster_by_key=True, target_file_rows=60
+    )
+    assert stats2["compacted_buckets"] == 0
+
+
+def test_cluster_advisory_fires_and_clears(spark, tmp_table_dir):
+    """The merge-time clustering advisory: a sparse batch churning a
+    fat full-range file (mean rewritten rows/file > 2x target, rewrite
+    >> batch) stamps cluster_recommended on the summary; after a
+    clustered compact the same trickle rewrites ~target-sized files and
+    the advisory stops firing (amplification alone must NOT retrigger
+    it — copy-on-write point merges never reach amp 1)."""
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"),
+        SCHEMA,
+        key_col="k",
+        bucket_count=4,
+        props={"target_file_rows": 50},
+    )
+    t.merge(_batch(spark, range(600), lsn=1))  # bulk: nothing rewritten
+    assert "cluster_recommended" not in t.snapshot()["summary"]
+    t.merge(_batch(spark, [301], lsn=2))  # 1-key trickle vs 150-row file
+    assert t.snapshot()["summary"].get("cluster_recommended") is True
+    t.compact(spark, cluster_by_key=True)  # target from the table prop
+    t.merge(_batch(spark, [302], lsn=3))  # now rewrites one ~50-row file
+    assert "cluster_recommended" not in t.snapshot()["summary"]
+
+
+def test_cluster_by_key_requires_keyed_table(spark, tmp_table_dir):
+    t = LakeTable.create(os.path.join(tmp_table_dir, "unkeyed"), SCHEMA)
+    t.append(spark.createDataFrame([("a", 1)], SCHEMA))
+    with pytest.raises(ValueError, match="keyed"):
+        t.compact(spark, cluster_by_key=True)
+    with pytest.raises(ValueError, match="positive"):
+        _mk_table(tmp_table_dir, "t").compact(
+            spark, cluster_by_key=True, target_file_rows=0
+        )

@@ -69,6 +69,85 @@ def test_job_maintain_advisory_rebucket_and_vacuum(spark, tmp_table_dir, capsys)
     assert_frames_equal(CdcPipeline.load(root).target.read(spark), expected_final(feed))
 
 
+def test_job_maintain_cluster_by_key(spark, tmp_table_dir, capsys):
+    """--cluster-by-key routes through compact_buckets' sort-ordered
+    rewrite: hot buckets end with pairwise-disjoint key ranges and the
+    data round-trips bit-identical."""
+    from horizon_etl_spark.tables.lake import FileEntry
+
+    root = os.path.join(tmp_table_dir, "p")
+    pipe = CdcPipeline.create(root, bucket_count=4)
+    feed = change_feed(spark, 3000, 300, seed=47, num_batches=3)
+    for b in (0, 1, 2):
+        apply_batch(pipe, feed.filter(F.col("batch") == b).drop("batch"), batch_id=b)
+
+    rc = job_maintain.main(
+        [
+            "--pipeline-root", root,
+            "--rebucket", "off",
+            "--max-files-per-bucket", "0",
+            "--cluster-by-key", "on",
+            "--target-file-rows", "40",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["compact"]["compacted_buckets"] > 0
+
+    t = CdcPipeline.load(root).target
+    by_bucket: dict[int, list[FileEntry]] = {}
+    for f in (FileEntry.from_json(j) for j in t.snapshot()["files"]):
+        by_bucket.setdefault(f.bucket, []).append(f)
+    assert any(len(fs) > 1 for fs in by_bucket.values())  # actually split
+    for fs in by_bucket.values():
+        fs.sort(key=lambda f: f.min_key)
+        for a, b in zip(fs, fs[1:]):
+            assert a.max_key < b.min_key
+    assert_frames_equal(t.read(spark), expected_final(feed.drop("batch")))
+
+
+def test_job_maintain_cluster_auto_follows_advisory(spark, tmp_table_dir, capsys):
+    """Default --cluster-by-key auto: a point-key trickle against fat
+    bucket files trips the merge-time cluster_recommended advisory, the
+    next maintenance sweep sort-orders exactly the oversized buckets,
+    and once clustered the follow-up sweep is a no-op."""
+    from horizon_etl_spark.tables.lake import FileEntry
+
+    root = os.path.join(tmp_table_dir, "p")
+    pipe = CdcPipeline.create(root, bucket_count=4)
+    pipe.target.set_props({"target_file_rows": 30})
+    feed = change_feed(spark, 3000, 300, seed=49, num_batches=1).drop("batch")
+    apply_batch(pipe, feed, batch_id=0)
+    trickle = change_feed(spark, 50, 1, seed=50, num_batches=1).drop("batch")
+    trickle = trickle.withColumn("lsn", F.col("lsn") + 1_000_000_000)
+    apply_batch(pipe, trickle, batch_id=1)
+    assert pipe.target.snapshot()["summary"].get("cluster_recommended") is True
+
+    rc = job_maintain.main(["--pipeline-root", root, "--rebucket", "off"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["cluster_by_key"] is True and out["compact"]["compacted_buckets"] > 0
+
+    t = CdcPipeline.load(root).target
+    by_bucket: dict[int, list[FileEntry]] = {}
+    for f in (FileEntry.from_json(j) for j in t.snapshot()["files"]):
+        by_bucket.setdefault(f.bucket, []).append(f)
+    assert any(len(fs) > 1 for fs in by_bucket.values())
+    for fs in by_bucket.values():
+        fs.sort(key=lambda f: f.min_key)
+        for a, b in zip(fs, fs[1:]):
+            assert a.max_key < b.min_key
+    assert_frames_equal(
+        t.read(spark), expected_final(feed.unionByName(trickle))
+    )
+
+    # clustered state carries no advisory → the next sweep is a no-op
+    assert job_maintain.main(["--pipeline-root", root, "--rebucket", "off"]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["cluster_by_key"] is False
+    assert out2["compact"]["compacted_buckets"] == 0
+
+
 def test_job_export_changes_mode(spark, tmp_table_dir, capsys):
     root = os.path.join(tmp_table_dir, "p")
     out_dir = os.path.join(tmp_table_dir, "exports")

@@ -59,6 +59,30 @@ def test_flow_report_shape_and_warnings(spark, tmp_table_dir):
     exact = flow_report(spark, pipe, exact_counts=True)["final_tables"]
     assert exact["quarantine"] == 43 and exact["runs"] == rep["final_tables"]["runs"]
 
+    # no pending layout advisory → no maintenance warnings
+    assert "maintenance" not in rep["warnings_by_source"]
+
+
+def test_flow_report_surfaces_maintenance_advisories(spark, tmp_table_dir):
+    """A pending cluster_recommended advisory on the target's latest
+    merge summary must surface as a maintenance warning, so pipelines
+    without a scheduled job_maintain sweep alert instead of silently
+    paying the write amplification."""
+    pipe = _pipe_with_history(spark, os.path.join(tmp_table_dir, "pipe"))
+    pipe.target.set_props({"target_file_rows": 15})
+    trickle = (
+        change_feed(spark, 40, 1, seed=22, num_batches=1, max_len=8)
+        .drop("batch")
+        .withColumn("lsn", F.col("lsn") + 1_000_000_000)
+    )
+    apply_batch(pipe, trickle, batch_id=2)
+    assert pipe.target.snapshot()["summary"].get("cluster_recommended") is True
+
+    rep = flow_report(spark, pipe, run_name="weekly")
+    maint = rep["warnings_by_source"]["maintenance"]
+    assert [w["code"] for w in maint] == ["cluster_recommended"]
+    assert "cluster-by-key" in maint[0]["message"]
+
 
 def test_write_report_artifacts(spark, tmp_table_dir):
     pipe = _pipe_with_history(spark, os.path.join(tmp_table_dir, "pipe"))

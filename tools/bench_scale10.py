@@ -47,6 +47,11 @@ def main() -> int:
         action="store_true",
         help="run only the graph10x section, merging prior sections from --out",
     )
+    ap.add_argument(
+        "--only-cluster",
+        action="store_true",
+        help="run only the cluster10x section, merging prior sections from --out",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -119,6 +124,27 @@ def main() -> int:
             "n_components": n_components,
             "cc_sec": cc_sec,
         }
+
+    if args.only_cluster:
+        # clustered compaction at 10× the sf0.1 section's keys AND 5×
+        # its files/bucket (40): the rewritten-rows ratio's ceiling is
+        # files/bucket, so this geometry is where the payoff shows —
+        # a 100 TB bucket is many target_file_rows splits, not 8
+        cluster = bench.run_cluster_bench(spark, 500_000, splits_per_bucket=40)
+        bench.log(f"cluster10x: {cluster}")
+        out = {"metric": "scale10x_evidence", "cpus": args.cpus, "cluster10x": cluster}
+        if args.out and os.path.exists(args.out):
+            with open(args.out) as fh:
+                prior = json.loads(fh.read())
+            prior.update(out)
+            out = prior
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(line + "\n")
+        spark.stop()
+        return 0
 
     if args.only_graph:
         graph = run_graph10()
@@ -248,6 +274,11 @@ def main() -> int:
     )
     bench.log(f"replica10x: {replica}")
 
+    # --- clustered compaction at 10x keys and 5x files/bucket (the
+    # ratio's ceiling is files/bucket — see bench.run_cluster_bench)
+    cluster = bench.run_cluster_bench(spark, 500_000, splits_per_bucket=40)
+    bench.log(f"cluster10x: {cluster}")
+
     graph = run_graph10()
     bench.log(f"graph10x: {graph}")
 
@@ -259,6 +290,7 @@ def main() -> int:
         "bloom10x": bloom,
         "bloom10x_files": bloom_files,
         "replica10x": replica,
+        "cluster10x": cluster,
         "graph10x": graph,
     }
     if args.skip_cdc and args.out and os.path.exists(args.out):

@@ -5,6 +5,7 @@ phase (ingest → export → maintain).
         --py-files dist/horizon_etl_spark.zip \
         tools/job_maintain.py --pipeline-root /data/lake/docs \
         [--rebucket auto|off|N] [--max-files-per-bucket 8] \
+        [--cluster-by-key auto|on|off] [--target-file-rows N] \
         [--vacuum-keep 4] [--vacuum-min-age 3600]
 
 Three bounded-cost operations, in dependency order:
@@ -14,7 +15,9 @@ Three bounded-cost operations, in dependency order:
      recommended bucket count — the advisory fires from ingest metrics,
      the rewrite runs here where it cannot stall the feed.
   2. **compact_buckets**: selective small-file compaction of hot
-     buckets only (O(hot buckets), not O(table)).
+     buckets only (O(hot buckets), not O(table)); ``--cluster-by-key``
+     additionally key-sorts the rewrite into disjoint-range file splits
+     (sort-ordered compaction) so later point-key merges stay ~1 file.
   3. **vacuum**: expire old snapshots + delete unreferenced data files
      across ALL pipeline tables, with the concurrent-writer age guard.
 
@@ -41,6 +44,24 @@ def parse_args(argv):
         help="'auto' = follow the merge-time advisory; 'off'; or an explicit count",
     )
     ap.add_argument("--max-files-per-bucket", type=int, default=8)
+    ap.add_argument(
+        "--cluster-by-key",
+        default="auto",
+        choices=["auto", "on", "off"],
+        help="key-sort + range-split the rewritten hot buckets into "
+        "disjoint-range files (sort-ordered compaction), so point-key "
+        "merges rewrite ~1 file instead of the whole bucket; 'auto' "
+        "(default) follows the merge-time cluster_recommended advisory "
+        "(fires when sparse batches churn files far over "
+        "target_file_rows)",
+    )
+    ap.add_argument(
+        "--target-file-rows",
+        type=int,
+        default=None,
+        help="rows per clustered file split (default: the table's "
+        "target_file_rows prop, else 4,000,000)",
+    )
     ap.add_argument("--vacuum-keep", type=int, default=4)
     ap.add_argument(
         "--vacuum-keep-change-log",
@@ -82,8 +103,16 @@ def main(argv=None) -> int:
     else:
         out["rebucket"] = None
 
+    cluster = args.cluster_by_key == "on" or (
+        args.cluster_by_key == "auto"
+        and bool(snap.get("summary", {}).get("cluster_recommended"))
+    )
+    out["cluster_by_key"] = cluster
     out["compact"] = target.compact_buckets(
-        spark, max_files_per_bucket=args.max_files_per_bucket
+        spark,
+        max_files_per_bucket=args.max_files_per_bucket,
+        cluster_by_key=cluster,
+        target_file_rows=args.target_file_rows,
     )
 
     vac = {}

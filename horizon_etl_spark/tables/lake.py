@@ -181,6 +181,14 @@ READ_KEYS_ISIN_MAX = 10_000
 # gate (their HLL count is large) and skip the second action entirely.
 PRUNE_REFINE_BUCKET_KEYS = 4_096
 PRUNE_REFINE_TOTAL_KEYS = 65_536
+# ...and the refinement must PAY: the second action re-executes the
+# batch lineage (the src frame is typically an unstaged
+# validate/dedup pipeline, not a cached scan), so a bucket only
+# qualifies when the rows it might avoid rewriting dwarf the batch
+# keys it holds — steady-state replay batches sit at amp ≈ 1 and must
+# never pay the extra pass (measured: an ungated refinement cost the
+# sf0.1 CDC bench ~40% of its apply throughput for zero carried files).
+PRUNE_REFINE_MIN_AMP = 8
 # Clustering advisory (merge-time, consumed by job_maintain
 # --cluster-by-key auto): fires when a merge's copy-on-write rewrite
 # was dominated by FAT files churned for a sparse batch — mean rows
@@ -1298,7 +1306,13 @@ class LakeTable:
         refine = [
             b
             for b, ps in refinable.items()
-            if len(ps) > 1 and 0 < touched_ndk.get(b, 0) <= PRUNE_REFINE_BUCKET_KEYS
+            if len(ps) > 1
+            and 0 < touched_ndk.get(b, 0) <= PRUNE_REFINE_BUCKET_KEYS
+            # trickle-shaped only: the avoidable rewrite must dwarf the
+            # bucket's batch keys, else the extra pass can't pay for
+            # itself (see PRUNE_REFINE_MIN_AMP)
+            and sum(int(rewrite_files[p].rows or 0) for p in ps)
+            > PRUNE_REFINE_MIN_AMP * touched_ndk[b]
         ]
         if refine and sum(touched_ndk[b] for b in refine) <= PRUNE_REFINE_TOTAL_KEYS:
             keys_by_bucket = {

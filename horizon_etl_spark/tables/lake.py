@@ -1303,11 +1303,13 @@ class LakeTable:
         # batches skip this entirely — they rewrite broadly regardless,
         # and the gate keeps the driver's key copy O(refined buckets ×
         # PRUNE_REFINE_BUCKET_KEYS) at worst.
+        # single-file buckets stay eligible: a sparse INSERT batch whose
+        # keys straddle a lone file's range (but live in its gaps) is
+        # exactly the wasted-rewrite case the refinement exists for
         refine = [
             b
             for b, ps in refinable.items()
-            if len(ps) > 1
-            and 0 < touched_ndk.get(b, 0) <= PRUNE_REFINE_BUCKET_KEYS
+            if 0 < touched_ndk.get(b, 0) <= PRUNE_REFINE_BUCKET_KEYS
             # trickle-shaped only: the avoidable rewrite must dwarf the
             # bucket's batch keys, else the extra pass can't pay for
             # itself (see PRUNE_REFINE_MIN_AMP)
@@ -1362,10 +1364,17 @@ class LakeTable:
         # sort-ordered rewrite off the hot path, like rebucket.
         rr = summary.get("rewritten_rows", 0)
         rf = summary.get("rewritten_files", 0)
+        try:
+            target = self._target_file_rows(snap)
+        except (TypeError, ValueError):
+            # advisory is best-effort: a malformed target_file_rows
+            # prop must not poison the merge that is about to commit
+            # (the explicit clustered-compaction paths still raise)
+            target = DEFAULT_TARGET_FILE_ROWS
         if (
             rf > 0
             and rr > CLUSTER_ADVICE_MIN_AMP * max(1, summary.get("batch_rows", 0))
-            and rr / rf > 2 * self._target_file_rows(snap)
+            and rr / rf > 2 * target
         ):
             summary["cluster_recommended"] = True
 
@@ -2159,7 +2168,13 @@ class LakeTable:
             "retained_versions": retained,
         }
 
-    def rebucket(self, spark: SparkSession, new_bucket_count: int) -> int:
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_bucket_count: int,
+        cluster_by_key: bool = False,
+        target_file_rows: int | None = None,
+    ) -> int:
         """Rewrite the table into ``new_bucket_count`` hash buckets in
         ONE atomic commit (data files + the new bucket_count land in the
         same snapshot, so per-file bucket/min-max pruning is never
@@ -2167,7 +2182,14 @@ class LakeTable:
         merge-time policy check points at; like Iceberg's
         rewrite_data_files after a partition-spec change, it's an
         O(table) job the operator schedules, never an implicit side
-        effect of a merge."""
+        effect of a merge.
+
+        ``cluster_by_key`` sort-orders the SAME rewrite (see
+        :meth:`compact`): when both layout advisories are pending the
+        one O(table) pass this job already is produces the clustered
+        layout too — without it, a rebucket emits one full-range file
+        per bucket and a following clustered sweep would rewrite the
+        whole table a second time."""
         snap = self.snapshot()
         key = snap["key_col"]
         if key is None:
@@ -2183,6 +2205,11 @@ class LakeTable:
             version,
             bucketed=True,
             with_blooms=self._bloom_enabled(snap),
+            cluster_files=(
+                self._cluster_split_count(snap, target_file_rows)
+                if cluster_by_key
+                else None
+            ),
         )
         self._commit(
             version,

@@ -20,6 +20,8 @@ from horizon_etl_spark.tables.lake import (
     bucket_expr,
 )
 
+from conftest import assert_disjoint_bucket_ranges
+
 SCHEMA = StructType(
     [StructField("k", StringType(), False), StructField("v", LongType(), True)]
 )
@@ -82,14 +84,7 @@ def test_clustered_compact_disjoint_ranges_and_point_pruning(spark, tmp_table_di
     assert sorted(t.read(spark).collect()) == before  # state round-trips
 
     files = _files(t)
-    by_bucket: dict[int, list[FileEntry]] = {}
-    for f in files:
-        by_bucket.setdefault(f.bucket, []).append(f)
-    assert any(len(fs) > 1 for fs in by_bucket.values())  # actually split
-    for fs in by_bucket.values():
-        fs.sort(key=lambda f: f.min_key)
-        for a, b in zip(fs, fs[1:]):  # pairwise-disjoint ranges
-            assert a.max_key < b.min_key
+    assert_disjoint_bucket_ranges(t, require_split=True)
     # rows inside each file are key-sorted (contiguous range layout)
     ks = pq.read_table(os.path.join(t.path, files[0].path), columns=["k"])[
         "k"
@@ -115,11 +110,8 @@ def test_exact_key_refinement_skips_swept_middle_files(spark, tmp_table_dir):
     _interleaved(spark, t)
     t.compact(spark, cluster_by_key=True, target_file_rows=40)
 
-    by_bucket: dict[int, list[FileEntry]] = {}
-    for f in _files(t):
-        by_bucket.setdefault(f.bucket, []).append(f)
+    by_bucket = assert_disjoint_bucket_ranges(t)
     bucket, fs = max(by_bucket.items(), key=lambda kv: len(kv[1]))
-    fs.sort(key=lambda f: f.min_key)
     assert len(fs) >= 3  # first + gap file(s) + last
     probe = spark.createDataFrame(
         [(fs[0].min_key, 1, "update", 99), (fs[-1].max_key, 2, "update", 99)],
@@ -176,19 +168,32 @@ def test_clustered_compact_buckets_touches_only_hot(spark, tmp_table_dir):
     )
     assert stats["compacted_buckets"] == 4 and stats["carried_files"] == 0
     assert sorted(t.read(spark).collect()) == before
-    by_bucket: dict[int, list[FileEntry]] = {}
-    for f in _files(t):
-        by_bucket.setdefault(f.bucket, []).append(f)
-    for fs in by_bucket.values():
-        fs.sort(key=lambda f: f.min_key)
-        for a, b in zip(fs, fs[1:]):
-            assert a.max_key < b.min_key
+    assert_disjoint_bucket_ranges(t)
 
     # a cold table (nothing over the threshold) is untouched
     stats2 = t.compact_buckets(
         spark, max_files_per_bucket=8, cluster_by_key=True, target_file_rows=60
     )
     assert stats2["compacted_buckets"] == 0
+
+
+def test_refinement_carries_single_swept_file_on_gap_insert(spark, tmp_table_dir):
+    """A sparse INSERT batch whose keys straddle a lone file's range
+    (but all lie outside it): the interval test sweeps the file in,
+    and the refinement must carry it — single-file buckets stay
+    eligible, this wasted full-file rewrite is exactly the case the
+    range-only pruner cannot see."""
+    t = LakeTable.create(
+        os.path.join(tmp_table_dir, "t"), SCHEMA, key_col="k", bucket_count=1
+    )
+    t.merge(_batch(spark, range(200, 400), lsn=1))  # one file [k000200,k000399]
+    probe = _batch(spark, [100, 500], lsn=2)  # new keys bracketing the range
+    rewrite, carry = _prune(t, probe)
+    assert rewrite == [] and len(carry) == 1
+    st = t.merge(probe)
+    assert st["rewritten_files"] == 0 and st["inserted"] == 2
+    rows = {r["k"] for r in t.read(spark).collect()}
+    assert len(rows) == 202 and {"k000100", "k000500"} <= rows
 
 
 def test_cluster_advisory_fires_and_clears(spark, tmp_table_dir):

@@ -14,6 +14,8 @@ from horizon_etl_spark.cdc.generator import change_feed
 from horizon_etl_spark.cdc.oracle import assert_frames_equal, expected_final
 from tools import job_export, job_maintain
 
+from conftest import assert_disjoint_bucket_ranges
+
 
 def test_set_props_is_metadata_only_commit(spark, tmp_table_dir):
     pipe = CdcPipeline.create(os.path.join(tmp_table_dir, "p"), bucket_count=4)
@@ -73,8 +75,6 @@ def test_job_maintain_cluster_by_key(spark, tmp_table_dir, capsys):
     """--cluster-by-key routes through compact_buckets' sort-ordered
     rewrite: hot buckets end with pairwise-disjoint key ranges and the
     data round-trips bit-identical."""
-    from horizon_etl_spark.tables.lake import FileEntry
-
     root = os.path.join(tmp_table_dir, "p")
     pipe = CdcPipeline.create(root, bucket_count=4)
     feed = change_feed(spark, 3000, 300, seed=47, num_batches=3)
@@ -95,14 +95,7 @@ def test_job_maintain_cluster_by_key(spark, tmp_table_dir, capsys):
     assert out["compact"]["compacted_buckets"] > 0
 
     t = CdcPipeline.load(root).target
-    by_bucket: dict[int, list[FileEntry]] = {}
-    for f in (FileEntry.from_json(j) for j in t.snapshot()["files"]):
-        by_bucket.setdefault(f.bucket, []).append(f)
-    assert any(len(fs) > 1 for fs in by_bucket.values())  # actually split
-    for fs in by_bucket.values():
-        fs.sort(key=lambda f: f.min_key)
-        for a, b in zip(fs, fs[1:]):
-            assert a.max_key < b.min_key
+    assert_disjoint_bucket_ranges(t, require_split=True)
     assert_frames_equal(t.read(spark), expected_final(feed.drop("batch")))
 
 
@@ -111,8 +104,6 @@ def test_job_maintain_cluster_auto_follows_advisory(spark, tmp_table_dir, capsys
     bucket files trips the merge-time cluster_recommended advisory, the
     next maintenance sweep sort-orders exactly the oversized buckets,
     and once clustered the follow-up sweep is a no-op."""
-    from horizon_etl_spark.tables.lake import FileEntry
-
     root = os.path.join(tmp_table_dir, "p")
     pipe = CdcPipeline.create(root, bucket_count=4)
     pipe.target.set_props({"target_file_rows": 30})
@@ -129,14 +120,7 @@ def test_job_maintain_cluster_auto_follows_advisory(spark, tmp_table_dir, capsys
     assert out["cluster_by_key"] is True and out["compact"]["compacted_buckets"] > 0
 
     t = CdcPipeline.load(root).target
-    by_bucket: dict[int, list[FileEntry]] = {}
-    for f in (FileEntry.from_json(j) for j in t.snapshot()["files"]):
-        by_bucket.setdefault(f.bucket, []).append(f)
-    assert any(len(fs) > 1 for fs in by_bucket.values())
-    for fs in by_bucket.values():
-        fs.sort(key=lambda f: f.min_key)
-        for a, b in zip(fs, fs[1:]):
-            assert a.max_key < b.min_key
+    assert_disjoint_bucket_ranges(t, require_split=True)
     assert_frames_equal(
         t.read(spark), expected_final(feed.unionByName(trickle))
     )
@@ -146,6 +130,39 @@ def test_job_maintain_cluster_auto_follows_advisory(spark, tmp_table_dir, capsys
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["cluster_by_key"] is False
     assert out2["compact"]["compacted_buckets"] == 0
+
+
+def test_job_maintain_combined_advisories_single_pass(spark, tmp_table_dir, capsys):
+    """When rebucket_recommended AND cluster_recommended are both
+    pending, the one O(table) rebucket pass must produce the clustered
+    layout too — the following sweep then finds nothing fat (a plain
+    rebucket would leave full-range files and trigger a SECOND
+    whole-table rewrite in the same run)."""
+    root = os.path.join(tmp_table_dir, "p")
+    pipe = CdcPipeline.create(root, bucket_count=4)
+    pipe.target.set_props({"target_rows_per_bucket": 20, "target_file_rows": 30})
+    feed = change_feed(spark, 3000, 300, seed=51, num_batches=1).drop("batch")
+    apply_batch(pipe, feed, batch_id=0)
+    trickle = (
+        change_feed(spark, 50, 1, seed=52, num_batches=1)
+        .drop("batch")
+        .withColumn("lsn", F.col("lsn") + 1_000_000_000)
+    )
+    apply_batch(pipe, trickle, batch_id=1)
+    s = pipe.target.snapshot()["summary"]
+    assert s.get("rebucket_recommended") and s.get("cluster_recommended")
+
+    rc = job_maintain.main(["--pipeline-root", root, "--vacuum-min-age", "0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebucket"]["clustered"] is True
+    assert out["compact"]["compacted_buckets"] == 0  # nothing fat remains
+
+    t = CdcPipeline.load(root).target
+    assert_disjoint_bucket_ranges(t)
+    assert_frames_equal(
+        t.read(spark), expected_final(feed.unionByName(trickle))
+    )
 
 
 def test_job_export_changes_mode(spark, tmp_table_dir, capsys):

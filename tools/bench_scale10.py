@@ -125,6 +125,23 @@ def main() -> int:
             "cc_sec": cc_sec,
         }
 
+    def emit(sections: dict, merge_prior: bool = False) -> int:
+        """Print + write the one-line JSON artifact; with merge_prior,
+        fold fresh sections over a prior full run in --out (the
+        --only-<section> re-measure paths)."""
+        out = {"metric": "scale10x_evidence", "cpus": args.cpus, **sections}
+        if merge_prior and args.out and os.path.exists(args.out):
+            with open(args.out) as fh:
+                prior = json.loads(fh.read())
+            prior.update(out)
+            out = prior
+        line = json.dumps(out)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write(line + "\n")
+        return 0
+
     if args.only_cluster:
         # clustered compaction at 10× the sf0.1 section's keys AND 5×
         # its files/bucket (40): the rewritten-rows ratio's ceiling is
@@ -132,36 +149,16 @@ def main() -> int:
         # a 100 TB bucket is many target_file_rows splits, not 8
         cluster = bench.run_cluster_bench(spark, 500_000, splits_per_bucket=40)
         bench.log(f"cluster10x: {cluster}")
-        out = {"metric": "scale10x_evidence", "cpus": args.cpus, "cluster10x": cluster}
-        if args.out and os.path.exists(args.out):
-            with open(args.out) as fh:
-                prior = json.loads(fh.read())
-            prior.update(out)
-            out = prior
-        line = json.dumps(out)
-        print(line)
-        if args.out:
-            with open(args.out, "w") as fh:
-                fh.write(line + "\n")
+        rc = emit({"cluster10x": cluster}, merge_prior=True)
         spark.stop()
-        return 0
+        return rc
 
     if args.only_graph:
         graph = run_graph10()
         bench.log(f"graph10x: {graph}")
-        out = {"metric": "scale10x_evidence", "cpus": args.cpus, "graph10x": graph}
-        if args.out and os.path.exists(args.out):
-            with open(args.out) as fh:
-                prior = json.loads(fh.read())
-            prior.update(out)
-            out = prior
-        line = json.dumps(out)
-        print(line)
-        if args.out:
-            with open(args.out, "w") as fh:
-                fh.write(line + "\n")
+        rc = emit({"graph10x": graph}, merge_prior=True)
         spark.stop()
-        return 0
+        return rc
 
     # --- cdc at 10x, identical protocol to bench.py's sf0.1 section
     num_events = args.events
@@ -282,9 +279,7 @@ def main() -> int:
     graph = run_graph10()
     bench.log(f"graph10x: {graph}")
 
-    out = {
-        "metric": "scale10x_evidence",
-        "cpus": args.cpus,
+    sections = {
         "cdc10x": cdc,
         "rebucket10x": rb,
         "bloom10x": bloom,
@@ -294,17 +289,13 @@ def main() -> int:
         "graph10x": graph,
     }
     if args.skip_cdc and args.out and os.path.exists(args.out):
-        # merge the fresh rebucket section over a prior full run
+        # --skip-cdc reruns everything BUT cdc: carry the prior run's
+        # cdc10x forward instead of emitting null
         with open(args.out) as fh:
             prior = json.loads(fh.read())
         if prior.get("cdc10x"):
-            out["cdc10x"] = prior["cdc10x"]
-    line = json.dumps(out)
-    print(line)
-    if args.out:
-        with open(args.out, "w") as fh:
-            fh.write(line + "\n")
-    return 0
+            sections["cdc10x"] = prior["cdc10x"]
+    return emit(sections)
 
 
 if __name__ == "__main__":

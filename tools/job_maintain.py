@@ -91,6 +91,11 @@ def main(argv=None) -> int:
 
     snap = target.snapshot()
     current = snap["bucket_count"]
+    cluster = args.cluster_by_key == "on" or (
+        args.cluster_by_key == "auto"
+        and bool(snap.get("summary", {}).get("cluster_recommended"))
+    )
+    out["cluster_by_key"] = cluster
     if args.rebucket == "auto":
         want = snap.get("summary", {}).get("rebucket_recommended")
     elif args.rebucket == "off":
@@ -98,16 +103,18 @@ def main(argv=None) -> int:
     else:
         want = int(args.rebucket)
     if want and want != current:
-        target.rebucket(spark, want)
-        out["rebucket"] = {"from": current, "to": want}
+        # when both layout advisories are pending, the single O(table)
+        # rebucket pass produces the clustered layout too — otherwise
+        # the cluster sweep below would rewrite the whole table AGAIN
+        # (every post-rebucket file is full-range, hence "fat")
+        target.rebucket(
+            spark, want, cluster_by_key=cluster,
+            target_file_rows=args.target_file_rows,
+        )
+        out["rebucket"] = {"from": current, "to": want, "clustered": cluster}
     else:
         out["rebucket"] = None
 
-    cluster = args.cluster_by_key == "on" or (
-        args.cluster_by_key == "auto"
-        and bool(snap.get("summary", {}).get("cluster_recommended"))
-    )
-    out["cluster_by_key"] = cluster
     out["compact"] = target.compact_buckets(
         spark,
         max_files_per_bucket=args.max_files_per_bucket,

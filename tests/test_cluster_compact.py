@@ -219,6 +219,45 @@ def test_cluster_advisory_fires_and_clears(spark, tmp_table_dir):
     assert "cluster_recommended" not in t.snapshot()["summary"]
 
 
+def test_prune_soundness_randomized(spark, tmp_table_dir):
+    """No false carries, ever: across clustered / bloomed / fragmented
+    layouts and random sparse batches (present keys, gap inserts,
+    out-of-range keys), every file that ACTUALLY holds a batch key must
+    be in the rewrite set — the ground truth is read straight from the
+    parquet files.  This is the safety property the bloom probe, the
+    interval test, and the exact-key refinement must jointly preserve;
+    a false carry is silent data corruption (stale row survives a
+    merge it should have joined)."""
+    import random
+
+    rnd = random.Random(7)
+    for name, bloom in (("plain", False), ("bloomed", True)):
+        t = _mk_table(tmp_table_dir, name, bloom=bloom, buckets=3)
+        t.merge(_batch(spark, range(0, 600, 2), lsn=1))  # evens only
+        t.compact(spark, cluster_by_key=True, target_file_rows=rnd.choice([20, 55]))
+        # fragment: a few extra merges so buckets mix clustered + fresh files
+        t.merge(_batch(spark, rnd.sample(range(0, 600, 2), 40), lsn=2))
+        t.merge(_batch(spark, rnd.sample(range(0, 600, 2), 10), lsn=3))
+
+        for probe_trial in range(6):
+            ids = rnd.sample(range(0, 640), rnd.randint(1, 12))  # odds = absent
+            batch = _batch(spark, ids, lsn=10 + probe_trial)
+            rewrite, carry = _prune(t, batch)
+            keys = {f"k{i:06d}" for i in ids}
+            rewrite_paths = {f.path for f in rewrite}
+            for f in rewrite + carry:
+                file_keys = set(
+                    pq.read_table(os.path.join(t.path, f.path), columns=["k"])[
+                        "k"
+                    ].to_pylist()
+                )
+                if file_keys & keys:
+                    assert f.path in rewrite_paths, (
+                        f"{name}: false carry of {f.path} holding "
+                        f"{sorted(file_keys & keys)[:3]}"
+                    )
+
+
 def test_cluster_by_key_requires_keyed_table(spark, tmp_table_dir):
     t = LakeTable.create(os.path.join(tmp_table_dir, "unkeyed"), SCHEMA)
     t.append(spark.createDataFrame([("a", 1)], SCHEMA))
